@@ -1,0 +1,162 @@
+"""Fused multi-head self-attention for the CLIP towers.
+
+Numeric contract: the reference SDPA path
+(``/root/reference/jclip/mha.py:55-83`` and ``ood.py:339-367``):
+``softmax(Q K^T / sqrt(D) + bias) V`` with an optional additive mask (the
+text tower's causal mask, ``jclip/model.py:189-193``), no dropout in the
+live inference path.
+
+Two implementations with identical semantics:
+
+- ``_attention_xla``: plain jnp ops, lets XLA fuse. Used on CPU and as the
+  reference in tests.
+- ``_attention_pallas``: one fused Pallas TPU kernel per (batch, head):
+  scores, bias add, softmax and the PV matmul never leave VMEM. CLIP
+  sequences are tiny (50-81 tokens), so a whole (S_pad, S_pad) score tile
+  fits comfortably; the win is avoiding HBM round-trips for the [BH, S, S]
+  score tensor when BH is large (TTA crop batches).
+
+Scores are always computed in f32 (MXU accumulation) regardless of input
+dtype; bf16 inputs give bf16 outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jcf_tpu.ops.layers import linear
+
+_HI = jax.lax.Precision.HIGHEST
+
+# Finite "minus infinity" for padded keys: large enough that exp underflows
+# to zero, small enough that padded *query* rows stay NaN-free.
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attention_xla(q, k, v, bias):
+    # q,k,v: [B, H, S, D]; bias: [S, S] additive or None
+    dims = (((3,), (3,)), ((0, 1), (0, 1)))
+    scores = jax.lax.dot_general(
+        q, k, dims, preferred_element_type=jnp.float32, precision=_HI
+    )
+    scores = scores * (1.0 / math.sqrt(q.shape[-1]))
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    dims_pv = (((3,), (2,)), ((0, 1), (0, 1)))
+    out = jax.lax.dot_general(
+        probs.astype(q.dtype), v, dims_pv, preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+    return out.astype(q.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
+    q = q_ref[0]  # [S, D] (padded; `scale` uses the true head dim)
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_HI,
+    )
+    scores = scores * scale
+    scores = scores + bias_ref[...]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    out = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=_HI
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attention_pallas(q, k, v, bias, interpret=False):
+    b, h, s, d = q.shape
+    s_pad = _round_up(s, 128)
+    d_pad = _round_up(d, 128)
+    bh = b * h
+
+    qp = jnp.pad(q.reshape(bh, s, d), ((0, 0), (0, s_pad - s), (0, d_pad - d)))
+    kp = jnp.pad(k.reshape(bh, s, d), ((0, 0), (0, s_pad - s), (0, d_pad - d)))
+    vp = jnp.pad(v.reshape(bh, s, d), ((0, 0), (0, s_pad - s), (0, d_pad - d)))
+
+    # Additive bias [S_pad, S_pad]: user mask on the real block, _NEG_INF on
+    # padded key columns so they receive zero probability.
+    full_bias = jnp.full((s_pad, s_pad), _NEG_INF, dtype=jnp.float32)
+    block = jnp.zeros((s, s), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    full_bias = full_bias.at[:s, :s].set(block)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=1.0 / math.sqrt(d)),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, s_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, full_bias)
+
+    return out[:, :s, :d].reshape(b, h, s, d)
+
+
+def fused_attention(q, k, v, bias=None, *, impl: str | None = None):
+    """Scaled dot-product attention over [B, H, S, D] tensors.
+
+    impl: "pallas" | "xla" | "pallas_interpret" | None (auto: pallas on TPU).
+    """
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return _attention_xla(q, k, v, bias)
+    if impl == "pallas":
+        return _attention_pallas(q, k, v, bias)
+    if impl == "pallas_interpret":
+        return _attention_pallas(q, k, v, bias, interpret=True)
+    raise ValueError(f"unknown attention impl {impl!r}")
+
+
+def multi_head_attention(
+    x: jax.Array,
+    params: dict,
+    n_heads: int,
+    mask: jax.Array | None = None,
+    *,
+    impl: str | None = None,
+) -> jax.Array:
+    """Self-attention block over batch-first [B, S, E] activations.
+
+    params: {"w_qkv": [3E, E], "b_qkv": [3E], "w_out": [E, E], "b_out": [E]}
+    — the packed in-projection layout of OpenAI CLIP checkpoints
+    (``jclip/mha.py:129-146`` splits the same packed weight).
+    """
+    b, s, e = x.shape
+    d = e // n_heads
+
+    qkv = linear(x, params["w_qkv"], params["b_qkv"])  # [B, S, 3E]
+    qkv = qkv.reshape(b, s, 3, n_heads, d)
+    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, D]
+
+    out = fused_attention(q, k, v, mask, impl=impl)
+    out = jnp.moveaxis(out, 1, 2).reshape(b, s, e)
+    return linear(out, params["w_out"], params["b_out"])
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
+    """Strictly-upper-triangular -inf mask (``jclip/model.py:189-193``)."""
+    return jnp.triu(jnp.full((length, length), -jnp.inf, dtype=dtype), k=1)
