@@ -41,7 +41,7 @@ def linear(x: jax.Array, weight: jax.Array, bias: jax.Array | None = None) -> ja
         x, weight.T, preferred_element_type=jnp.float32, precision=HIGHEST
     ).astype(x.dtype)
     if bias is not None:
-        y = y + bias
+        y = y + bias.astype(x.dtype)
     return y
 
 
