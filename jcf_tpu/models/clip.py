@@ -177,6 +177,7 @@ def _run_blocks(
     prompt_mode: str = "none",
     n_prompt: int = 0,
     impl: Optional[str] = None,
+    lora_ctx: Optional[dict] = None,
 ) -> jax.Array:
     """Scan the stacked residual blocks over [B, S, E] activations.
 
@@ -184,6 +185,10 @@ def _run_blocks(
     layers 1..depth-1 (IVLP deep prompting, jclip/model1.py:97-121);
     prompt_mode "visual" replaces the trailing n_prompt tokens, "text"
     splices positions [1, 1+n_prompt).
+
+    lora_ctx: per-tower LoRA context (``peft.lora.make_lora_context``) —
+    the decomposed training path; stacked factors scan alongside the block
+    params, gates select the active layers.
     """
     n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
     # deep prompts apply to layers 1..depth-1 (layer 0's prompt is installed
@@ -192,7 +197,17 @@ def _run_blocks(
 
     def body(carry, scanned):
         x, layer_idx = carry
-        params, prompt = scanned
+        params, prompt, lora_layer, lora_gate = scanned
+        lora = None
+        if lora_layer is not None:
+            rng = lora_ctx.get("rng")
+            lora = {
+                "layer": lora_layer,
+                "gate": lora_gate,
+                "proj_mask": lora_ctx["proj_mask"],
+                "spec": lora_ctx["spec"],
+                "rng": (jax.random.fold_in(rng, layer_idx) if rng is not None else None),
+            }
         if prompt is not None:
             p = jnp.broadcast_to(
                 prompt.astype(x.dtype)[None], (x.shape[0], n_prompt, x.shape[-1])
@@ -211,6 +226,7 @@ def _run_blocks(
             n_heads,
             mask,
             impl=impl,
+            lora=lora,
         )
         x = x + mlp(layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]), params["mlp"])
         return (x, layer_idx + 1), None
@@ -223,11 +239,32 @@ def _run_blocks(
         )
         dummy = jnp.zeros((1,) + deep_prompts.shape[1:], deep_prompts.dtype)
         all_prompts = jnp.concatenate([dummy, deep_prompts, pad], axis=0)
-        (x, _), _ = jax.lax.scan(body, (x, jnp.int32(0)), (blocks, all_prompts))
     else:
-        (x, _), _ = jax.lax.scan(
-            lambda c, s: body(c, (s, None)), (x, jnp.int32(0)), blocks
-        )
+        all_prompts = None
+
+    if lora_ctx is not None:
+        lora_stack, lora_gates = lora_ctx["stacked"], lora_ctx["gates"]
+    else:
+        lora_stack = lora_gates = None
+
+    # scan over whichever per-layer streams exist; None streams are closed
+    # over as missing (not scanned)
+    streams = [blocks]
+    pattern = [0]  # positions: 0=params, 1=prompt, 2=lora, 3=gate
+    if all_prompts is not None:
+        streams.append(all_prompts)
+        pattern.append(1)
+    if lora_stack is not None:
+        streams.extend([lora_stack, lora_gates])
+        pattern.extend([2, 3])
+
+    def scan_body(carry, scanned_tuple):
+        slots = [None, None, None, None]
+        for pos, val in zip(pattern, scanned_tuple):
+            slots[pos] = val
+        return body(carry, tuple(slots))
+
+    (x, _), _ = jax.lax.scan(scan_body, (x, jnp.int32(0)), tuple(streams))
     return x
 
 
@@ -248,6 +285,7 @@ def encode_image(
     *,
     dtype=jnp.float32,
     impl: Optional[str] = None,
+    lora_ctx: Optional[dict] = None,
 ) -> jax.Array:
     """Image features [B, embed_dim] (pre-normalization), as
     ``jclip/model.py:104-126`` / prompted ``model1.py:180-207``."""
@@ -281,6 +319,7 @@ def encode_image(
         prompt_mode="visual",
         n_prompt=cfg.vision_prompt_tokens,
         impl=impl,
+        lora_ctx=lora_ctx,
     )
 
     x = layer_norm(x[:, 0], v["ln_post"]["scale"], v["ln_post"]["bias"])
@@ -298,6 +337,7 @@ def encode_text_embeddings(
     *,
     dtype=jnp.float32,
     impl: Optional[str] = None,
+    lora_ctx: Optional[dict] = None,
 ) -> jax.Array:
     """Text features from pre-built token embeddings [B, 77, tw].
 
@@ -317,6 +357,7 @@ def encode_text_embeddings(
         prompt_mode="text",
         n_prompt=cfg.text_prompt_tokens,
         impl=impl,
+        lora_ctx=lora_ctx,
     )
     x = layer_norm(x, t["ln_final"]["scale"], t["ln_final"]["bias"])
     x = x[jnp.arange(x.shape[0]), eot_positions]  # EOT gather
@@ -333,6 +374,7 @@ def encode_text(
     *,
     dtype=jnp.float32,
     impl: Optional[str] = None,
+    lora_ctx: Optional[dict] = None,
 ) -> jax.Array:
     """Text features [B, embed_dim] from int token ids [B, 77]
     (``jclip/model.py:202-215``; EOT position = argmax of ids since EOT is
@@ -341,7 +383,7 @@ def encode_text(
     emb = t["token_embedding"][token_ids]
     eot = jnp.argmax(token_ids, axis=-1)
     return encode_text_embeddings(
-        params, cfg, emb, eot, dtype=dtype, impl=impl
+        params, cfg, emb, eot, dtype=dtype, impl=impl, lora_ctx=lora_ctx
     )
 
 

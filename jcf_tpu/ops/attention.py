@@ -138,23 +138,42 @@ def multi_head_attention(
     mask: jax.Array | None = None,
     *,
     impl: str | None = None,
+    lora: "dict | None" = None,
 ) -> jax.Array:
     """Self-attention block over batch-first [B, S, E] activations.
 
     params: {"w_qkv": [3E, E], "b_qkv": [3E], "w_out": [E, E], "b_out": [E]}
     — the packed in-projection layout of OpenAI CLIP checkpoints
     (``jclip/mha.py:129-146`` splits the same packed weight).
+
+    lora: optional decomposed-path LoRA context for this layer:
+    {"layer": {a_qkv [3,r,E], b_qkv [3,E,r][, a_out, b_out]},
+     "gate": scalar, "proj_mask": [3], "spec": LoraSpec, "rng": key|None}
+    (training path with branch dropout, reference ``ood.py:296-306``;
+    for inference prefer ``peft.merge_lora_params`` — zero overhead).
     """
     b, s, e = x.shape
     d = e // n_heads
 
     qkv = linear(x, params["w_qkv"], params["b_qkv"])  # [B, S, 3E]
+    if lora is not None:
+        from jcf_tpu.peft.lora import lora_qkv_adjustment, lora_out_adjustment
+
+        qkv = qkv + lora_qkv_adjustment(
+            x, lora["layer"], lora["spec"], lora["gate"], lora["proj_mask"],
+            lora.get("rng"),
+        )
     qkv = qkv.reshape(b, s, 3, n_heads, d)
     q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, D]
 
     out = fused_attention(q, k, v, mask, impl=impl)
     out = jnp.moveaxis(out, 1, 2).reshape(b, s, e)
-    return linear(out, params["w_out"], params["b_out"])
+    y = linear(out, params["w_out"], params["b_out"])
+    if lora is not None and "a_out" in lora["layer"]:
+        y = y + lora_out_adjustment(
+            out, lora["layer"], lora["spec"], lora["gate"], lora.get("rng")
+        )
+    return y
 
 
 def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
