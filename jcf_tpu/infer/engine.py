@@ -1,0 +1,230 @@
+"""Jitted TTA inference engine.
+
+The reference's hot loop (``/root/reference/ood.py:867-883``) runs 513
+ViT-B/32 crop-forwards per image, one host-side PIL crop at a time, then
+the MTA solver. Here the whole thing is one XLA program per image batch:
+
+  crops (host- or device-sampled) -> patchify matmul -> scanned blocks with
+  fused Pallas attention -> L2 norm -> vmapped MTA -> logits
+
+Device-side crop sampling re-designs the crop pipeline for TPU: a
+RandomResizedCrop + flip is expressed as two small interpolation-matrix
+matmuls per view (separable bilinear resampling), so the entire TTA view
+stack is generated on-chip from one 256x256 source image — the host ships
+B images instead of B*N crops (N x less PCIe/DCN traffic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from jcf_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+from jcf_tpu.models.clip import CLIPConfig, encode_image
+from jcf_tpu.ops.layers import l2_normalize
+from jcf_tpu.tta.mta import MTAParams, solve_mta
+from jcf_tpu.tta import solve_mta_batch
+
+
+def encode_image_batched(
+    params: dict,
+    cfg: CLIPConfig,
+    images: jax.Array,
+    *,
+    dtype=jnp.float32,
+    impl: Optional[str] = None,
+    normalize: bool = True,
+) -> jax.Array:
+    """encode_image + L2 norm over a flat [M, 3, H, W] batch."""
+    feats = encode_image(params, cfg, images, dtype=dtype, impl=impl)
+    return l2_normalize(feats) if normalize else feats
+
+
+# ---------------------------------------------------------------------------
+# device-side RandomResizedCrop as interpolation matmuls
+# ---------------------------------------------------------------------------
+
+
+def _interp_matrix(starts: jax.Array, sizes: jax.Array, src: int, dst: int) -> jax.Array:
+    """Batched bilinear interpolation matrices W [B, dst, src]: output row o
+    samples source coordinate start + (o + 0.5) * size/dst - 0.5 with a
+    triangle kernel widened by the downscale factor (PIL-style antialias).
+    starts/sizes: [B] floats (crop box edges in source pixels)."""
+    o = jnp.arange(dst, dtype=jnp.float32)  # [dst]
+    i = jnp.arange(src, dtype=jnp.float32)  # [src]
+    scale = sizes[:, None] / dst  # [B, 1]
+    centers = starts[:, None] + (o[None, :] + 0.5) * scale - 0.5  # [B, dst]
+    support = jnp.maximum(scale, 1.0)  # antialias: widen kernel when downscaling
+    dist = jnp.abs(centers[:, :, None] - i[None, None, :]) / support[:, :, None]
+    w = jnp.maximum(0.0, 1.0 - dist)  # [B, dst, src]
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+
+
+def crop_resize_matrices(
+    boxes: jax.Array, src_hw: Tuple[int, int], out_size: int
+) -> Tuple[jax.Array, jax.Array]:
+    """boxes [B, 4] = (top, left, h, w) in source pixels -> row/col
+    interpolation matrices ([B, out, H], [B, out, W])."""
+    top, left, h, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    wy = _interp_matrix(top, h, src_hw[0], out_size)
+    wx = _interp_matrix(left, w, src_hw[1], out_size)
+    return wy, wx
+
+
+def apply_crop_resize(images: jax.Array, wy: jax.Array, wx: jax.Array) -> jax.Array:
+    """images [B, C, H, W] x (wy [B, out, H], wx [B, out, W]) ->
+    [B, C, out, out] — two MXU matmuls per view."""
+    t = jnp.einsum("boh,bchw->bcow", wy, images, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bow,bcqw->bcqo", wx, t, precision=jax.lax.Precision.HIGHEST)
+
+
+def sample_crop_boxes(
+    key: jax.Array,
+    n: int,
+    src_hw: Tuple[int, int],
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (0.75, 4.0 / 3.0),
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample n (top, left, h, w) boxes + flip flags, torchvision-style
+    (area uniform in `scale`, log-uniform aspect). Rejection sampling is
+    replaced by clamping to the image — compiler-friendly, same coverage
+    for the reference's scale ranges (boxes rarely overflow at scale<=1)."""
+    h_src, w_src = src_hw
+    k_area, k_ratio, k_top, k_left, k_flip = jax.random.split(key, 5)
+    area = w_src * h_src * jax.random.uniform(k_area, (n,), minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(
+        k_ratio, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    aspect = jnp.exp(log_r)
+    w = jnp.sqrt(area * aspect)
+    h = jnp.sqrt(area / aspect)
+    w = jnp.clip(w, 8.0, w_src)
+    h = jnp.clip(h, 8.0, h_src)
+    top = jax.random.uniform(k_top, (n,)) * (h_src - h)
+    left = jax.random.uniform(k_left, (n,)) * (w_src - w)
+    flips = jax.random.bernoulli(k_flip, 0.5, (n,))
+    return jnp.stack([top, left, h, w], axis=1), flips
+
+
+def device_random_crops(
+    images: jax.Array,
+    key: jax.Array,
+    n_views: int,
+    out_size: int = 224,
+    scale: Tuple[float, float] = (0.5, 1.0),
+) -> jax.Array:
+    """[B, C, H, W] source images -> [B, n_views, C, out, out] TTA views,
+    sampled and resampled entirely on device."""
+    b, c, h, w = images.shape
+
+    def per_image(img, k):
+        boxes, flips = sample_crop_boxes(k, n_views, (h, w), scale)
+        wy, wx = crop_resize_matrices(boxes, (h, w), out_size)
+        views = apply_crop_resize(
+            jnp.broadcast_to(img[None], (n_views, c, h, w)), wy, wx
+        )
+        return jnp.where(flips[:, None, None, None], views[..., ::-1], views)
+
+    keys = jax.random.split(key, b)
+    return jax.vmap(per_image)(images, keys)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+class TTAEngine:
+    """Compiled end-to-end TTA: images -> MTA mode features / logits.
+
+    Two entry modes:
+    - ``features_from_crops``: host-prepared crop stacks [B, N, 3, s, s]
+      (bit-parity path with the reference's PIL crops)
+    - ``features_from_images``: source images [B, 3, H, W]; views are
+      sampled on device (throughput path)
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: CLIPConfig,
+        *,
+        dtype=jnp.float32,
+        impl: Optional[str] = None,
+        n_views: int = 8,
+        crop_scale: Tuple[float, float] = (0.5, 1.0),
+        normalize_views: bool = True,
+        mta_params: MTAParams = MTAParams(),
+    ):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.impl = impl
+        self.n_views = n_views
+        self.crop_scale = crop_scale
+        self.normalize_views = normalize_views
+        self.mta = mta_params
+        self._params = params
+
+        mean = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(3, 1, 1)
+        std = jnp.asarray(CLIP_STD, jnp.float32).reshape(3, 1, 1)
+
+        def _encode_cloud(params, crops):  # [B, N, 3, s, s] -> [B, N, D]
+            b, n = crops.shape[:2]
+            flat = crops.reshape((b * n,) + crops.shape[2:])
+            feats = encode_image_batched(params, cfg, flat, dtype=dtype, impl=impl)
+            return feats.reshape(b, n, -1).astype(jnp.float32)
+
+        @jax.jit
+        def features_from_crops(params, crops, text_weights):
+            clouds = _encode_cloud(params, crops)
+            return solve_mta_batch(clouds, text_weights, self.mta)
+
+        @jax.jit
+        def features_from_images(params, images, text_weights, key):
+            views = device_random_crops(
+                images, key, n_views, cfg.image_resolution, crop_scale
+            )
+            center = _center_crop_view(images, cfg.image_resolution)
+            views = jnp.concatenate([center[:, None], views], axis=1)
+            if normalize_views:
+                views = (views - mean) / std
+            clouds = _encode_cloud(params, views)
+            return solve_mta_batch(clouds, text_weights, self.mta)
+
+        @jax.jit
+        def cloud_features(params, crops):
+            return _encode_cloud(params, crops)
+
+        self._features_from_crops = features_from_crops
+        self._features_from_images = features_from_images
+        self._cloud_features = cloud_features
+
+    def features_from_crops(self, crops, text_weights):
+        """crops [B, N, 3, s, s] (row 0 should be the center view) ->
+        MTA mode features [B, D]."""
+        return self._features_from_crops(self._params, crops, text_weights)
+
+    def features_from_images(self, images, text_weights, key):
+        """images [B, 3, H, W] (e.g. 256x256 resized, [0,1] range) ->
+        MTA mode features [B, D]; views sampled on device."""
+        return self._features_from_images(self._params, images, text_weights, key)
+
+    def crop_features(self, crops):
+        """[B, N, 3, s, s] -> per-view L2-normalized features [B, N, D]."""
+        return self._cloud_features(self._params, crops)
+
+    def logits(self, modes, text_weights):
+        return (modes @ text_weights.T) * 100.0
+
+
+def _center_crop_view(images: jax.Array, size: int) -> jax.Array:
+    """Central size x size crop of [B, C, H, W] (H, W >= size)."""
+    b, c, h, w = images.shape
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return jax.lax.dynamic_slice(
+        images, (0, 0, top, left), (b, c, size, size)
+    )
