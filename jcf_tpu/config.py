@@ -1,0 +1,121 @@
+"""Typed configuration tree for the four pipelines.
+
+Single source of truth for every knob the reference hard-codes or takes on
+argparse (SURVEY.md §5: per-script flags ``ood.py:684-717``, hard-coded
+epochs/batch sizes ``lora_train_vlp.py:940,1218`` / ``slow_pace.py:1577,
+1935``, MTA constants ``ood.py:755-758``, seeds 1 vs 346373, 512-crop TTA
+``ood.py:956``). Reference values are the defaults; the BASELINE perf
+configuration (8 views, bf16, device crops) is a preset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    root: str = "Dataset"
+    classes_file: str = "Dataset/classes.txt"
+    train_split: str = "Dataset/train.txt"
+    val_split: str = "Dataset/valid1.txt"
+    test_dir: str = "Dataset/TestSetB"
+    template_dir: str = "text_template"
+    captions_file: str = "class_caption.txt"
+    num_classes: int = 403
+    shots: int = 4
+    num_workers: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class TTAConfig:
+    n_views: int = 512  # reference crop count (ood.py:956); perf preset uses 8
+    crop_scale: Tuple[float, float] = (0.5, 1.0)
+    view_size: int = 224
+    resize_to: int = 256
+    device_crops: bool = False  # True = sample views on-chip (throughput path)
+    batch_images: int = 1  # images per device batch
+
+
+@dataclasses.dataclass(frozen=True)
+class LoraConfig:
+    r: int = 4
+    alpha: float = 1.0
+    dropout_rate: float = 0.25
+    params: Tuple[str, ...] = ("q", "k", "v")
+    encoder: str = "both"
+    position: str = "all"
+    backbone: str = "ViT-B/32"
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage1Config:
+    epochs: int = 50  # lora_train_vlp.py:940
+    batch_size: int = 256
+    lr: float = 2e-4
+    weight_decay: float = 1e-2
+    betas: Tuple[float, float] = (0.9, 0.999)
+    logit_scale: float = 100.0
+    eval_from_epoch: int = 20  # lora_train_vlp.py:1013
+    seed: int = 1
+    crop_scale: Tuple[float, float] = (0.05, 1.0)  # train RRC (ood.py:1077-1082)
+    save_path: str = "lora_weights1/lora_weights.pkl"
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2Config:
+    epochs: int = 20  # slow_pace.py:1577
+    batch_size: int = 128
+    lr: float = 2e-4
+    weight_decay: float = 1e-2
+    betas: Tuple[float, float] = (0.9, 0.999)
+    cosine_eta_min: float = 1e-6
+    # The reference steps its CosineAnnealingLR(T_max=20) every BATCH
+    # (slow_pace.py:1695), so the cosine period is 20 steps, not 20 epochs.
+    # `scheduler_step_per_batch=True` reproduces that; False anneals over
+    # the full run (the presumably-intended schedule).
+    scheduler_step_per_batch: bool = True
+    logit_scale: float = 100.0
+    seed: int = 346373
+    n_ctx: int = 4
+    ctx_init: str = "a photo of a"
+    moco_checkpoint: str = "r-50-1000ep.pkl"
+    out_dir: str = "test_pkl"
+    feature_cache_1: str = "features_zs1.pkl"
+    feature_cache_2: str = "features_zs2.pkl"
+    label_cache_2: str = "label_zs2.pkl"
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    clip_checkpoint: str = "ViT-B-32.pkl"
+    compute_dtype: str = "float32"  # "bfloat16" for the perf path
+    attention_impl: Optional[str] = None  # None = auto (pallas on TPU)
+    mesh_axis: str = "data"
+    profile_dir: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    tta: TTAConfig = dataclasses.field(default_factory=TTAConfig)
+    lora: LoraConfig = dataclasses.field(default_factory=LoraConfig)
+    stage1: Stage1Config = dataclasses.field(default_factory=Stage1Config)
+    stage2: Stage2Config = dataclasses.field(default_factory=Stage2Config)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+
+def perf_preset() -> PipelineConfig:
+    """BASELINE.md throughput configuration: 8 device-sampled views, bf16."""
+    base = PipelineConfig()
+    return dataclasses.replace(
+        base,
+        tta=dataclasses.replace(base.tta, n_views=8, device_crops=True, batch_images=64),
+        runtime=dataclasses.replace(base.runtime, compute_dtype="bfloat16"),
+    )
+
+
+def reference_preset() -> PipelineConfig:
+    """Exact reference behavior (512+1 host PIL crops, f32)."""
+    return PipelineConfig()
