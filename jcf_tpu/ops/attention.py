@@ -61,13 +61,17 @@ def _attention_xla(q, k, v, bias):
     return out.astype(q.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, precision):
     q = q_ref[0]  # [S, D] (padded; `scale` uses the true head dim)
     k = k_ref[0]
     v = v_ref[0]
+    # `precision` is HIGHEST for f32 inputs (full-precision MXU passes) and
+    # None for bf16 — Mosaic rejects HIGHEST on bf16 operands ("Bad lhs
+    # type"), and bf16 is MXU-native anyway. Accumulation stays f32 via
+    # preferred_element_type either way.
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=_HI,
+        precision=precision,
     )
     scores = scores * scale
     scores = scores + bias_ref[...]
@@ -76,7 +80,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = p / denom
     out = jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=_HI
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=precision,
     )
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -98,8 +103,11 @@ def _attention_pallas(q, k, v, bias, interpret=False):
     block = jnp.zeros((s, s), jnp.float32) if bias is None else bias.astype(jnp.float32)
     full_bias = full_bias.at[:s, :s].set(block)
 
+    kernel_precision = _HI if q.dtype == jnp.float32 else None
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=1.0 / math.sqrt(d)),
+        functools.partial(
+            _attn_kernel, scale=1.0 / math.sqrt(d), precision=kernel_precision
+        ),
         grid=(bh,),
         in_specs=[
             pl.BlockSpec((1, s_pad, d_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

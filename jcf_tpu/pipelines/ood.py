@@ -1,0 +1,75 @@
+"""OOD split pipeline — the ``ood.py`` entry point.
+
+Walks TestSetB, runs zero-shot MTA over the TTA crop cloud per image, and
+splits paths into base (pred <= 372) vs new classes
+(``/root/reference/ood.py:857-883``), writing ``TestSetB_1.txt`` and
+``TestSetB_2.txt`` under the dataset root.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from jcf_tpu.config import PipelineConfig
+from jcf_tpu.data import walk_test_dir
+from jcf_tpu.infer import TTAEngine
+from jcf_tpu.infer.predict import OOD_BOUNDARY_PRED
+from jcf_tpu.pipelines.common import (
+    build_text_weights,
+    compute_dtype,
+    ensure_templates,
+    load_model_for_pipeline,
+    stack_center_and_crops,
+    tta_loader,
+)
+from jcf_tpu.utils import MetricLogger, Timer, get_logger
+
+logger = get_logger()
+
+
+def run_ood_split(cfg: PipelineConfig) -> dict:
+    params, mcfg = load_model_for_pipeline(cfg)
+    templates = ensure_templates(cfg)
+    text_weights = build_text_weights(params, mcfg, templates, cfg)
+
+    data = walk_test_dir(cfg.data.test_dir)
+    logger.info("OOD split over %d images (%d views/image)", len(data), cfg.tta.n_views)
+    loader = tta_loader(cfg, data, mcfg, normalize=True)
+
+    engine = TTAEngine(
+        params,
+        mcfg,
+        dtype=compute_dtype(cfg),
+        impl=cfg.runtime.attention_impl,
+        n_views=cfg.tta.n_views,
+        crop_scale=cfg.tta.crop_scale,
+    )
+
+    base_path = os.path.join(cfg.data.root, "TestSetB_1.txt")
+    new_path = os.path.join(cfg.data.root, "TestSetB_2.txt")
+    os.makedirs(cfg.data.root, exist_ok=True)
+
+    timer = Timer()
+    n_base = n_new = 0
+    with open(base_path, "w") as f1, open(new_path, "w") as f2:
+        for center, crops, _, impaths, _ in loader:
+            with timer.phase("tta_batch"):
+                stacked = stack_center_and_crops(center, crops)
+                modes = engine.features_from_crops(stacked, text_weights)
+                logits = engine.logits(modes, text_weights)
+                preds = np.asarray(jnp.argmax(logits, axis=-1))
+            for impath, pred in zip(impaths, preds):
+                if pred <= OOD_BOUNDARY_PRED:
+                    f1.write(impath + "\n")
+                    n_base += 1
+                else:
+                    f2.write(impath + "\n")
+                    n_new += 1
+
+    summary = timer.summary()
+    logger.info("OOD split done: %d base / %d new — %s", n_base, n_new, summary)
+    return {"n_base": n_base, "n_new": n_new, "base_path": base_path, "new_path": new_path}

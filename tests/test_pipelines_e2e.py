@@ -1,0 +1,202 @@
+"""End-to-end integration: train-lora -> train-joint -> ood -> predict on a
+tiny synthetic fixture (tiny CLIP checkpoint, full-architecture MoCo RN50,
+generated images). Mirrors the reference's train.sh + ood.py + test.py
+sequence and checks every artifact contract."""
+
+import dataclasses
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from jcf_tpu.config import (
+    DataConfig,
+    PipelineConfig,
+    RuntimeConfig,
+    Stage1Config,
+    Stage2Config,
+    TTAConfig,
+    LoraConfig,
+)
+from jcf_tpu.models import CLIPConfig, init_clip_params
+from jcf_tpu.models.loader import state_dict_from_params
+from jcf_tpu.models.resnet import RESNET50_LAYERS, init_resnet50_params
+
+TINY = CLIPConfig(
+    embed_dim=32,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=64,
+    vision_patch_size=8,
+    context_length=77,
+    vocab_size=49408,
+    text_width=128,
+    text_heads=2,
+    text_layers=2,
+)
+
+N_CLASSES = 5
+
+
+def _write_moco_checkpoint(path):
+    params = init_resnet50_params(0)
+    sd = {}
+    sd["base_encoder.conv1.weight"] = np.asarray(params["conv1"])
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"base_encoder.bn1.{k}"] = np.asarray(params["bn1"][k])
+    for si, n in enumerate(RESNET50_LAYERS, start=1):
+        for b in range(n):
+            blk = params["layers"][si - 1][b]
+            pre = f"base_encoder.layer{si}.{b}"
+            for ci in (1, 2, 3):
+                sd[f"{pre}.conv{ci}.weight"] = np.asarray(blk[f"conv{ci}"])
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{pre}.bn{ci}.{k}"] = np.asarray(blk[f"bn{ci}"][k])
+            if "downsample" in blk:
+                sd[f"{pre}.downsample.0.weight"] = np.asarray(blk["downsample"]["conv"])
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{pre}.downsample.1.{k}"] = np.asarray(blk["downsample"]["bn"][k])
+    with open(path, "wb") as f:
+        pickle.dump(sd, f)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        rng = np.random.default_rng(0)
+        ds = root / "Dataset"
+        (ds / "TrainSet").mkdir(parents=True)
+        (ds / "TestSetB").mkdir()
+
+        classes = [f"Animal_class{i}" for i in range(N_CLASSES)]
+        (ds / "classes.txt").write_text(
+            "".join(f"{c} {i}\n" for i, c in enumerate(classes))
+        )
+
+        train_lines = []
+        for label in range(N_CLASSES):
+            for shot in range(2):
+                arr = rng.integers(0, 255, (40, 44, 3), dtype=np.uint8)
+                p = ds / "TrainSet" / f"c{label}_s{shot}.jpg"
+                Image.fromarray(arr).save(p)
+                train_lines.append(f"{p} {label}")
+        (ds / "train.txt").write_text("\n".join(train_lines) + "\n")
+        # val = 1 img/class (reuse first shot per class)
+        val_lines = [l for l in train_lines if "_s0" in l]
+        (ds / "valid1.txt").write_text("\n".join(val_lines) + "\n")
+
+        for i in range(4):
+            arr = rng.integers(0, 255, (40, 44, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(ds / "TestSetB" / f"test_{i}.jpg")
+
+        # tiny CLIP checkpoint in the reference pkl format
+        params = init_clip_params(3, TINY)
+        with open(root / "tiny_clip.pkl", "wb") as f:
+            pickle.dump(state_dict_from_params(params, TINY), f)
+
+        _write_moco_checkpoint(root / "tiny_moco.pkl")
+
+        cfg = PipelineConfig(
+            data=DataConfig(
+                root="Dataset",
+                classes_file="Dataset/classes.txt",
+                train_split="Dataset/train.txt",
+                val_split="Dataset/valid1.txt",
+                test_dir="Dataset/TestSetB",
+                template_dir="text_template",
+                captions_file="missing.txt",
+                num_classes=N_CLASSES,
+                shots=2,
+                num_workers=2,
+            ),
+            tta=TTAConfig(n_views=3, batch_images=2),
+            lora=LoraConfig(r=2, position="bottom", backbone="ViT-B/16"),
+            stage1=Stage1Config(epochs=2, batch_size=4, eval_from_epoch=1, seed=1),
+            stage2=Stage2Config(
+                epochs=1, batch_size=4, moco_checkpoint="tiny_moco.pkl", seed=7
+            ),
+            runtime=RuntimeConfig(clip_checkpoint="tiny_clip.pkl", attention_impl="xla"),
+        )
+        yield root, cfg
+    finally:
+        os.chdir(cwd)
+
+
+def test_full_pipeline_sequence(workspace):
+    root, cfg = workspace
+
+    # ---- stage 1 (train.sh step 1)
+    from jcf_tpu.pipelines import run_train_lora
+
+    out1 = run_train_lora(cfg)
+    assert os.path.exists(cfg.stage1.save_path)
+    with open(cfg.stage1.save_path, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["metadata"]["r"] == 2
+    # selected layers: text 'bottom' ∩ 2 layers + vision same = 4 entries
+    assert len(payload["weights"]) == 4
+    assert "q_proj" in payload["weights"]["layer_0"]
+
+    # ---- stage 2 (train.sh step 2)
+    from jcf_tpu.pipelines import run_train_joint
+
+    out2 = run_train_joint(cfg)
+    for artifact in (
+        "channel.pkl", "moco_adapter.pkl", "clip_model.pkl",
+        "PromptLearner.pkl", "lora_weights.pkl",
+    ):
+        assert os.path.exists(os.path.join(cfg.stage2.out_dir, artifact)), artifact
+    assert os.path.exists(cfg.stage2.feature_cache_1)
+
+    # ---- ood split
+    from jcf_tpu.pipelines import run_ood_split
+
+    out3 = run_ood_split(cfg)
+    assert out3["n_base"] + out3["n_new"] == 4
+    assert os.path.exists("Dataset/TestSetB_1.txt")
+    assert os.path.exists("Dataset/TestSetB_2.txt")
+    # with 5 classes every argmax is <= 372 -> all base
+    assert out3["n_base"] == 4
+
+    # ---- predict
+    from jcf_tpu.pipelines import run_predict
+
+    out4 = run_predict(cfg)
+    assert out4["n_base"] == 4 and out4["n_new"] == 0
+    result = open(out4["result"]).read().splitlines()
+    assert len(result) == 4
+    for line in result:
+        parts = line.split()
+        assert parts[0].endswith(".jpg") and "/" not in parts[0]
+        assert len(parts) == 6  # filename + top5
+        labels = list(map(int, parts[1:]))
+        assert len(set(labels)) == 5
+        assert all(0 <= l < N_CLASSES for l in labels)
+
+
+def test_cli_arg_parsing():
+    from jcf_tpu.cli._args import build_parser, config_from_args
+
+    p = build_parser("t", default_seed=1)
+    args = p.parse_args(
+        ["--r", "8", "--position", "top3", "--encoder", "text",
+         "--n_views", "16", "--dtype", "bfloat16", "--root_path", "D2"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.lora.r == 8
+    assert cfg.lora.position == "top3"
+    assert cfg.lora.encoder == "text"
+    assert cfg.tta.n_views == 16
+    assert cfg.runtime.compute_dtype == "bfloat16"
+    assert cfg.data.test_dir == "D2/TestSetB"
+
+    perf = config_from_args(p.parse_args(["--perf"]))
+    assert perf.tta.n_views == 8 and perf.tta.device_crops
+    assert perf.runtime.compute_dtype == "bfloat16"
