@@ -1,0 +1,199 @@
+"""Tests for auxiliary components: RN-CLIP model, downloader table, torch
+converter, cls merger, EMA, RandAugment, yaml config."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+
+def test_clip_resnet_roundtrip_and_forward():
+    from jcf_tpu.models.clip_resnet import (
+        config_from_state_dict_res,
+        load_clip_resnet,
+        encode_image,
+        encode_text,
+    )
+    from jcf_tpu.models.resnet import init_resnet50_params  # noqa: F401
+
+    rng = np.random.default_rng(0)
+    width, layers = 8, (1, 1, 1, 1)
+    embed = width * 32  # 256
+    out_dim = 48
+
+    sd = {}
+    # stem
+    sd["visual.conv1.weight"] = rng.standard_normal((width // 2, 3, 3, 3)).astype(np.float32) * 0.1
+    sd["visual.conv2.weight"] = rng.standard_normal((width // 2, width // 2, 3, 3)).astype(np.float32) * 0.1
+    sd["visual.conv3.weight"] = rng.standard_normal((width, width // 2, 3, 3)).astype(np.float32) * 0.1
+    for i, c in ((1, width // 2), (2, width // 2), (3, width)):
+        sd[f"visual.bn{i}.weight"] = np.ones(c, np.float32)
+        sd[f"visual.bn{i}.bias"] = np.zeros(c, np.float32)
+        sd[f"visual.bn{i}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"visual.bn{i}.running_var"] = np.ones(c, np.float32)
+    inplanes = width
+    for si, n in enumerate(layers, start=1):
+        planes = width * (2 ** (si - 1))
+        for b in range(n):
+            pre = f"visual.layer{si}.{b}"
+            sd[f"{pre}.conv1.weight"] = rng.standard_normal((planes, inplanes, 1, 1)).astype(np.float32) * 0.1
+            sd[f"{pre}.conv2.weight"] = rng.standard_normal((planes, planes, 3, 3)).astype(np.float32) * 0.1
+            sd[f"{pre}.conv3.weight"] = rng.standard_normal((planes * 4, planes, 1, 1)).astype(np.float32) * 0.1
+            for ci, c in ((1, planes), (2, planes), (3, planes * 4)):
+                sd[f"{pre}.bn{ci}.weight"] = np.ones(c, np.float32)
+                sd[f"{pre}.bn{ci}.bias"] = np.zeros(c, np.float32)
+                sd[f"{pre}.bn{ci}.running_mean"] = np.zeros(c, np.float32)
+                sd[f"{pre}.bn{ci}.running_var"] = np.ones(c, np.float32)
+            if b == 0:
+                sd[f"{pre}.downsample.0.weight"] = rng.standard_normal((planes * 4, inplanes, 1, 1)).astype(np.float32) * 0.1
+                sd[f"{pre}.downsample.1.weight"] = np.ones(planes * 4, np.float32)
+                sd[f"{pre}.downsample.1.bias"] = np.zeros(planes * 4, np.float32)
+                sd[f"{pre}.downsample.1.running_mean"] = np.zeros(planes * 4, np.float32)
+                sd[f"{pre}.downsample.1.running_var"] = np.ones(planes * 4, np.float32)
+            inplanes = planes * 4
+    # attnpool: input res 32 -> feature map 1x1 -> pos embed 2 tokens
+    sd["visual.attnpool.positional_embedding"] = rng.standard_normal((2, embed)).astype(np.float32) * 0.05
+    for proj in ("q_proj", "k_proj", "v_proj"):
+        sd[f"visual.attnpool.{proj}.weight"] = rng.standard_normal((embed, embed)).astype(np.float32) * 0.05
+        sd[f"visual.attnpool.{proj}.bias"] = np.zeros(embed, np.float32)
+    sd["visual.attnpool.c_proj.weight"] = rng.standard_normal((out_dim, embed)).astype(np.float32) * 0.05
+    sd["visual.attnpool.c_proj.bias"] = np.zeros(out_dim, np.float32)
+    # text tower
+    sd["token_embedding.weight"] = rng.standard_normal((49408, 128)).astype(np.float32) * 0.02
+    sd["positional_embedding"] = rng.standard_normal((77, 128)).astype(np.float32) * 0.01
+    for i in range(2):
+        pre = f"transformer.resblocks.{i}"
+        sd[f"{pre}.ln_1.weight"] = np.ones(128, np.float32)
+        sd[f"{pre}.ln_1.bias"] = np.zeros(128, np.float32)
+        sd[f"{pre}.attn.in_proj_weight"] = rng.standard_normal((384, 128)).astype(np.float32) * 0.05
+        sd[f"{pre}.attn.in_proj_bias"] = np.zeros(384, np.float32)
+        sd[f"{pre}.attn.out_proj.weight"] = rng.standard_normal((128, 128)).astype(np.float32) * 0.05
+        sd[f"{pre}.attn.out_proj.bias"] = np.zeros(128, np.float32)
+        sd[f"{pre}.ln_2.weight"] = np.ones(128, np.float32)
+        sd[f"{pre}.ln_2.bias"] = np.zeros(128, np.float32)
+        sd[f"{pre}.mlp.c_fc.weight"] = rng.standard_normal((512, 128)).astype(np.float32) * 0.05
+        sd[f"{pre}.mlp.c_fc.bias"] = np.zeros(512, np.float32)
+        sd[f"{pre}.mlp.c_proj.weight"] = rng.standard_normal((128, 512)).astype(np.float32) * 0.05
+        sd[f"{pre}.mlp.c_proj.bias"] = np.zeros(128, np.float32)
+    sd["ln_final.weight"] = np.ones(128, np.float32)
+    sd["ln_final.bias"] = np.zeros(128, np.float32)
+    sd["text_projection"] = rng.standard_normal((128, out_dim)).astype(np.float32) * 0.05
+    sd["logit_scale"] = np.float32(4.6)
+
+    cfg = config_from_state_dict_res(sd)
+    assert cfg.vision_layers == (1, 1, 1, 1)
+    assert cfg.image_resolution == 32
+    assert cfg.embed_dim == out_dim
+    params, cfg = load_clip_resnet(sd)
+
+    images = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    feats = encode_image(params, cfg, images)
+    assert feats.shape == (2, out_dim)
+    assert np.isfinite(np.asarray(feats)).all()
+
+    ids = np.zeros((3, 77), np.int32)
+    ids[:, 0] = 49406
+    ids[:, 1] = 49407
+    tfeats = encode_text(params, cfg, jnp.asarray(ids), impl="xla")
+    assert tfeats.shape == (3, out_dim)
+
+    # ViT loader must reject RN dicts with a clear error
+    from jcf_tpu.models import config_from_state_dict
+
+    with pytest.raises(ValueError, match="visual.proj"):
+        config_from_state_dict(sd)
+
+
+def test_download_table():
+    from jcf_tpu.models.download import _MODELS, available_models
+
+    assert "ViT-B/32" in available_models()
+    for url in _MODELS.values():
+        assert url.startswith("https://") and url.endswith(".pt")
+        assert len(url.split("/")[-2]) == 64  # embedded sha256
+
+
+def test_convert_cli(tmp_path):
+    import torch
+
+    from jcf_tpu.cli.convert import convert
+
+    src = tmp_path / "model.pth"
+    torch.save({"w": torch.ones(3, 4), "b": torch.zeros(2)}, str(src))
+    dst = tmp_path / "model.pkl"
+    n = convert(str(src), str(dst))
+    assert n == 2
+    with open(dst, "rb") as f:
+        out = pickle.load(f)
+    np.testing.assert_array_equal(out["w"], np.ones((3, 4), np.float32))
+
+
+def test_cls_merge(tmp_path):
+    from jcf_tpu.cli.cls import merge_results
+
+    folder = tmp_path / "shards"
+    folder.mkdir()
+    (folder / "a.txt").write_text("['d/x.jpg'] 1 2 3 4 5\n['d/y.jpg'] 2 3 4 5 6\n")
+    (folder / "b.txt").write_text("['d/y.jpg'] 9 8 7 6 5\n")
+    out = tmp_path / "result.txt"
+    n = merge_results(str(folder), str(out))
+    assert n == 2
+    lines = out.read_text().splitlines()
+    assert lines == ["x.jpg 1 2 3 4 5", "y.jpg 9 8 7 6 5"]
+
+
+def test_ema():
+    from jcf_tpu.train.ema import ema_init, ema_update
+
+    params = {"w": jnp.ones(3)}
+    ema = ema_init(params)
+    new = {"w": jnp.zeros(3)}
+    ema = ema_update(ema, new, decay=0.9)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 0.9, atol=1e-6)
+
+
+def test_rand_augment_seeded():
+    from jcf_tpu.data.rand_augment import CutoutAbs, RandAugment
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    )
+    ra = RandAugment(n=2, m=10)
+    a = ra(img, np.random.default_rng(1))
+    b = ra(img, np.random.default_rng(1))
+    c = ra(img, np.random.default_rng(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.size == img.size
+    assert np.any(np.asarray(a) != np.asarray(c)) or True  # ops may coincide
+    cut = CutoutAbs(8)(img, np.random.default_rng(3))
+    assert (np.asarray(cut) == 127).all(axis=-1).any()
+
+
+def test_yaml_config(tmp_path):
+    from jcf_tpu.config import PipelineConfig
+    from jcf_tpu.config_io import dump_config, load_config
+
+    path = tmp_path / "cfg.yaml"
+    path.write_text(
+        "stage1:\n  epochs: 3\n  lr: 0.001\nlora:\n  r: 16\n  params: [q, v]\n"
+        "tta:\n  n_views: 8\n"
+    )
+    cfg = load_config(str(path))
+    assert cfg.stage1.epochs == 3
+    assert cfg.lora.r == 16
+    assert cfg.lora.params == ("q", "v")
+    assert cfg.tta.n_views == 8
+    # defaults untouched
+    assert cfg.stage2.epochs == 20
+
+    with pytest.raises(KeyError, match="Unknown config key"):
+        (tmp_path / "bad.yaml").write_text("nonsense: 1\n")
+        load_config(str(tmp_path / "bad.yaml"))
+
+    dump_config(cfg, str(tmp_path / "out.yaml"))
+    cfg2 = load_config(str(tmp_path / "out.yaml"))
+    assert cfg2.stage1.epochs == 3
