@@ -166,7 +166,12 @@ class TTAEngine:
         self.crop_scale = crop_scale
         self.normalize_views = normalize_views
         self.mta = mta_params
-        self._params = params
+        # pre-cast the tower weights to the compute dtype once — casting
+        # ~150M params inside every call costs HBM bandwidth and kernels
+        self._params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+            params,
+        )
 
         mean = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(3, 1, 1)
         std = jnp.asarray(CLIP_STD, jnp.float32).reshape(3, 1, 1)
