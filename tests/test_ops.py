@@ -112,3 +112,21 @@ def test_accuracies():
     assert float(top_k_accuracy(logits, targets, 3)) == 100.0
     # boundary variant: classes < 1 are "base", >= 1 "new"
     assert float(boundary_accuracy(logits, targets, 1, boundary=1)) == 50.0
+
+
+def test_packed_attention_matches_xla():
+    from jcf_tpu.ops.attention import packed_attention, _attention_xla
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    b, s, h, d = 4, 10, 3, 8
+    e = h * d
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * e)).astype(np.float32))
+    qkv4 = qkv.reshape(b, s, 3, h, d)
+    q, k, v = (jnp.moveaxis(qkv4[:, :, i], 2, 1) for i in range(3))
+    for mask in (None, causal_mask(s)):
+        ref = _attention_xla(q, k, v, mask)
+        ref = jnp.moveaxis(ref, 1, 2).reshape(b, s, e)
+        out = packed_attention(qkv, h, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
