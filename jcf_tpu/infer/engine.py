@@ -158,6 +158,7 @@ class TTAEngine:
         crop_scale: Tuple[float, float] = (0.5, 1.0),
         normalize_views: bool = True,
         mta_params: MTAParams = MTAParams(),
+        quant: Optional[str] = None,  # "int8" -> W8A8 tower matmuls
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -172,14 +173,27 @@ class TTAEngine:
             lambda x: x.astype(dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
             params,
         )
+        # optional W8A8 serving mode: block matmul weights quantized once
+        self._quant_visual = None
+        if quant == "int8":
+            from jcf_tpu.ops.quant import quantize_clip_params
+
+            self._quant_visual = quantize_clip_params(params)["visual"]
+        elif quant is not None:
+            raise ValueError(f"unknown quant mode {quant!r}")
 
         mean = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(3, 1, 1)
         std = jnp.asarray(CLIP_STD, jnp.float32).reshape(3, 1, 1)
 
+        quant_visual = self._quant_visual
+
         def _encode_cloud(params, crops):  # [B, N, 3, s, s] -> [B, N, D]
             b, n = crops.shape[:2]
             flat = crops.reshape((b * n,) + crops.shape[2:])
-            feats = encode_image_batched(params, cfg, flat, dtype=dtype, impl=impl)
+            feats = encode_image(
+                params, cfg, flat, dtype=dtype, impl=impl, quant=quant_visual
+            )
+            feats = l2_normalize(feats)
             return feats.reshape(b, n, -1).astype(jnp.float32)
 
         @jax.jit

@@ -178,6 +178,7 @@ def _run_blocks(
     n_prompt: int = 0,
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
+    quant: Optional[dict] = None,
 ) -> jax.Array:
     """Scan the stacked residual blocks over [B, S, E] activations.
 
@@ -197,7 +198,7 @@ def _run_blocks(
 
     def body(carry, scanned):
         x, layer_idx = carry
-        params, prompt, lora_layer, lora_gate = scanned
+        params, prompt, lora_layer, lora_gate, quant_layer = scanned
         lora = None
         if lora_layer is not None:
             rng = lora_ctx.get("rng")
@@ -227,8 +228,13 @@ def _run_blocks(
             mask,
             impl=impl,
             lora=lora,
+            quant=(quant_layer["attn"] if quant_layer is not None else None),
         )
-        x = x + mlp(layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]), params["mlp"])
+        x = x + mlp(
+            layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]),
+            params["mlp"],
+            quant=(quant_layer["mlp"] if quant_layer is not None else None),
+        )
         return (x, layer_idx + 1), None
 
     if deep_prompts is not None:
@@ -250,16 +256,19 @@ def _run_blocks(
     # scan over whichever per-layer streams exist; None streams are closed
     # over as missing (not scanned)
     streams = [blocks]
-    pattern = [0]  # positions: 0=params, 1=prompt, 2=lora, 3=gate
+    pattern = [0]  # positions: 0=params, 1=prompt, 2=lora, 3=gate, 4=quant
     if all_prompts is not None:
         streams.append(all_prompts)
         pattern.append(1)
     if lora_stack is not None:
         streams.extend([lora_stack, lora_gates])
         pattern.extend([2, 3])
+    if quant is not None:
+        streams.append(quant)
+        pattern.append(4)
 
     def scan_body(carry, scanned_tuple):
-        slots = [None, None, None, None]
+        slots = [None, None, None, None, None]
         for pos, val in zip(pattern, scanned_tuple):
             slots[pos] = val
         return body(carry, tuple(slots))
@@ -286,6 +295,7 @@ def encode_image(
     dtype=jnp.float32,
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
+    quant: Optional[dict] = None,
 ) -> jax.Array:
     """Image features [B, embed_dim] (pre-normalization), as
     ``jclip/model.py:104-126`` / prompted ``model1.py:180-207``."""
@@ -320,6 +330,7 @@ def encode_image(
         n_prompt=cfg.vision_prompt_tokens,
         impl=impl,
         lora_ctx=lora_ctx,
+        quant=quant,
     )
 
     x = layer_norm(x[:, 0], v["ln_post"]["scale"], v["ln_post"]["bias"])
@@ -338,6 +349,7 @@ def encode_text_embeddings(
     dtype=jnp.float32,
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
+    quant: Optional[dict] = None,
 ) -> jax.Array:
     """Text features from pre-built token embeddings [B, 77, tw].
 
@@ -358,6 +370,7 @@ def encode_text_embeddings(
         n_prompt=cfg.text_prompt_tokens,
         impl=impl,
         lora_ctx=lora_ctx,
+        quant=quant,
     )
     x = layer_norm(x, t["ln_final"]["scale"], t["ln_final"]["bias"])
     x = x[jnp.arange(x.shape[0]), eot_positions]  # EOT gather
@@ -375,6 +388,7 @@ def encode_text(
     dtype=jnp.float32,
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
+    quant: Optional[dict] = None,
 ) -> jax.Array:
     """Text features [B, embed_dim] from int token ids [B, 77]
     (``jclip/model.py:202-215``; EOT position = argmax of ids since EOT is
@@ -383,7 +397,8 @@ def encode_text(
     emb = t["token_embedding"][token_ids]
     eot = jnp.argmax(token_ids, axis=-1)
     return encode_text_embeddings(
-        params, cfg, emb, eot, dtype=dtype, impl=impl, lora_ctx=lora_ctx
+        params, cfg, emb, eot, dtype=dtype, impl=impl, lora_ctx=lora_ctx,
+        quant=quant,
     )
 
 

@@ -266,6 +266,7 @@ def multi_head_attention(
     *,
     impl: str | None = None,
     lora: "dict | None" = None,
+    quant: "dict | None" = None,
 ) -> jax.Array:
     """Self-attention block over batch-first [B, S, E] activations.
 
@@ -282,7 +283,12 @@ def multi_head_attention(
     b, s, e = x.shape
     d = e // n_heads
 
-    qkv = linear(x, params["w_qkv"], params["b_qkv"])  # [B, S, 3E]
+    if quant is not None:
+        from jcf_tpu.ops.quant import int8_linear
+
+        qkv = int8_linear(x, quant["w_qkv"])  # [B, S, 3E]
+    else:
+        qkv = linear(x, params["w_qkv"], params["b_qkv"])  # [B, S, 3E]
     if lora is not None:
         from jcf_tpu.peft.lora import lora_qkv_adjustment, lora_out_adjustment
 
@@ -300,7 +306,12 @@ def multi_head_attention(
         q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, D]
         out = fused_attention(q, k, v, mask, impl=impl)
         out = jnp.moveaxis(out, 1, 2).reshape(b, s, e)
-    y = linear(out, params["w_out"], params["b_out"])
+    if quant is not None:
+        from jcf_tpu.ops.quant import int8_linear
+
+        y = int8_linear(out, quant["w_out"])
+    else:
+        y = linear(out, params["w_out"], params["b_out"])
     if lora is not None and "a_out" in lora["layer"]:
         y = y + lora_out_adjustment(
             out, lora["layer"], lora["spec"], lora["gate"], lora.get("rng")

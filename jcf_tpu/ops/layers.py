@@ -52,8 +52,16 @@ def linear(x: jax.Array, weight: jax.Array, bias: jax.Array | None = None) -> ja
     return y
 
 
-def mlp(x: jax.Array, params: dict) -> jax.Array:
-    """CLIP MLP block: c_fc (d -> 4d) -> QuickGELU -> c_proj (4d -> d)."""
+def mlp(x: jax.Array, params: dict, quant: "dict | None" = None) -> jax.Array:
+    """CLIP MLP block: c_fc (d -> 4d) -> QuickGELU -> c_proj (4d -> d).
+
+    `quant` optionally supplies int8 QuantizedLinear leaves for both
+    matmuls (W8A8 serving path)."""
+    if quant is not None:
+        from jcf_tpu.ops.quant import int8_linear
+
+        h = quick_gelu(int8_linear(x, quant["c_fc"]))
+        return int8_linear(h, quant["c_proj"])
     h = linear(x, params["c_fc"]["w"], params["c_fc"]["b"])
     h = quick_gelu(h)
     return linear(h, params["c_proj"]["w"], params["c_proj"]["b"])

@@ -1,0 +1,47 @@
+"""Int8 W8A8 path tests: quantized linear error bounds and full-tower
+agreement with the float path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from jcf_tpu.models import CLIPConfig, init_clip_params, encode_image, encode_text
+from jcf_tpu.ops.quant import int8_linear, quantize_clip_params, quantize_weight
+
+CFG = CLIPConfig(
+    embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+    vision_patch_size=8, context_length=16, vocab_size=120, text_width=128,
+    text_heads=2, text_layers=2,
+)
+
+RNG = np.random.default_rng(23)
+
+
+def test_int8_linear_close_to_float():
+    x = RNG.standard_normal((16, 64)).astype(np.float32)
+    w = (RNG.standard_normal((32, 64)) * 0.1).astype(np.float32)
+    b = RNG.standard_normal(32).astype(np.float32)
+    q = quantize_weight(jnp.asarray(w), jnp.asarray(b))
+    out_q = np.asarray(int8_linear(jnp.asarray(x), q))
+    out_f = x @ w.T + b
+    rel = np.abs(out_q - out_f) / (np.abs(out_f).mean() + 1e-6)
+    assert rel.mean() < 0.02
+
+
+def test_quantized_tower_tracks_float():
+    params = init_clip_params(0, CFG)
+    quant = quantize_clip_params(params)
+    images = jnp.asarray(RNG.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    f = np.asarray(encode_image(params, CFG, images, impl="xla"))
+    q = np.asarray(encode_image(params, CFG, images, impl="xla", quant=quant["visual"]))
+    cos = (f * q).sum(-1) / (np.linalg.norm(f, axis=-1) * np.linalg.norm(q, axis=-1))
+    assert (cos > 0.98).all(), cos
+
+    ids = np.zeros((2, 16), np.int32)
+    ids[:, 0] = 118
+    ids[:, 1:3] = [[5, 119], [40, 119]]
+    ft = np.asarray(encode_text(params, CFG, jnp.asarray(ids), impl="xla"))
+    qt = np.asarray(encode_text(params, CFG, jnp.asarray(ids), impl="xla", quant=quant["text"]))
+    cos_t = (ft * qt).sum(-1) / (np.linalg.norm(ft, axis=-1) * np.linalg.norm(qt, axis=-1))
+    assert (cos_t > 0.98).all(), cos_t
