@@ -80,6 +80,7 @@ class Stage2Config:
     seed: int = 346373
     n_ctx: int = 4
     ctx_init: str = "a photo of a"
+    full_ensemble_val: bool = True  # 8-head table (slow_pace.py:946-1136)
     moco_checkpoint: str = "r-50-1000ep.pkl"
     out_dir: str = "test_pkl"
     feature_cache_1: str = "features_zs1.pkl"

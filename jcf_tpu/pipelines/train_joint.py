@@ -250,8 +250,8 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
             step_count += 1
         metrics_log.log(step_count, epoch=epoch, **{k: v / n for k, v in agg.items()})
 
-        # validation: prompted-model MTA accuracy (simplified single-head
-        # gate; the full 8-head ensemble table runs in the predict pipeline)
+        # validation: full 8-head ensemble table (slow_pace.py:946-1136);
+        # the gate uses the MTA/hand head ('acc'), the rest are logged
         acc_val = 0.0
         if val_data:
             vpt_params = dict(params)
@@ -260,10 +260,43 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
             vpt_params["visual"] = vis
             merged = merge_lora_params(vpt_params, state.trainable["lora"], spec)
             tw = build_text_weights(merged, mcfg, templates, cfg)
-            from jcf_tpu.pipelines.train_lora import evaluate_mta
+            if cfg.stage2.full_ensemble_val:
+                from jcf_tpu.data.transforms import (
+                    CLIP_MEAN, CLIP_STD, MOCO_MEAN, MOCO_STD,
+                )
+                from jcf_tpu.infer.validate import evaluate_stage2_ensemble
+                from jcf_tpu.ops.layers import l2_normalize
+                from jcf_tpu.peft import prompt_text_features
 
-            acc_val = evaluate_mta(cfg, merged, mcfg, tw, val_data)
-            metrics_log.log(step_count, epoch=epoch, val_acc=acc_val)
+                pt_feats = l2_normalize(prompt_text_features(
+                    merged, mcfg, learner, state.trainable["ctx"],
+                    dtype=dtype, impl=impl,
+                ))
+                text_pt = l2_normalize((tw + pt_feats) / 2)
+                engine_pt = TTAEngine(merged, mcfg, dtype=dtype, impl=impl,
+                                      n_views=cfg.tta.n_views)
+                engine_zs = TTAEngine(params_zs_merged, mcfg_zs, dtype=dtype,
+                                      impl=impl, n_views=cfg.tta.n_views)
+                val_loader = tta_loader(cfg, val_data, mcfg, normalize=False)
+                mk = lambda m, s: (
+                    np.asarray(m, np.float32).reshape(1, 1, 3, 1, 1),
+                    np.asarray(s, np.float32).reshape(1, 1, 3, 1, 1),
+                )
+                accs = evaluate_stage2_ensemble(
+                    engine_pt, engine_zs, moco_params,
+                    state.trainable["channel_lp"], state.trainable["moco_adapter"],
+                    tw, text_pt, text_zs, val_loader,
+                    clip_mean_std=mk(CLIP_MEAN, CLIP_STD),
+                    moco_mean_std=mk(MOCO_MEAN, MOCO_STD),
+                    dtype=dtype,
+                )
+                acc_val = accs["acc"]
+                metrics_log.log(step_count, epoch=epoch, **{f"val_{k}": v for k, v in accs.items()})
+            else:
+                from jcf_tpu.pipelines.train_lora import evaluate_mta
+
+                acc_val = evaluate_mta(cfg, merged, mcfg, tw, val_data)
+                metrics_log.log(step_count, epoch=epoch, val_acc=acc_val)
 
         if not val_data or acc_val > best_acc:
             best_acc = acc_val
