@@ -61,6 +61,9 @@ class Stage1Config:
     seed: int = 1
     crop_scale: Tuple[float, float] = (0.05, 1.0)  # train RRC (ood.py:1077-1082)
     save_path: str = "lora_weights1/lora_weights.pkl"
+    # idempotent restart (absent from the reference — SURVEY.md §5)
+    resume: bool = True
+    checkpoint_path: str = "checkpoints/stage1_state.pkl"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,6 +85,8 @@ class Stage2Config:
     ctx_init: str = "a photo of a"
     full_ensemble_val: bool = True  # 8-head table (slow_pace.py:946-1136)
     moco_checkpoint: str = "r-50-1000ep.pkl"
+    resume: bool = True
+    checkpoint_path: str = "checkpoints/stage2_state.pkl"
     out_dir: str = "test_pkl"
     feature_cache_1: str = "features_zs1.pkl"
     feature_cache_2: str = "features_zs2.pkl"

@@ -205,6 +205,14 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
     )
     step_fn = jax.jit(step_fn)
     state = init_state(trainable)
+    start_epoch = 0
+    if cfg.stage2.resume and os.path.exists(cfg.stage2.checkpoint_path):
+        from jcf_tpu.train.joint_stage2 import Stage2State
+
+        ckpt = load_pytree(cfg.stage2.checkpoint_path)
+        state = Stage2State(*ckpt["state"])
+        start_epoch = int(ckpt["epoch"]) + 1
+        logger.info("resuming stage-2 from epoch %d", start_epoch)
 
     rrc = RandomResizedCrop(size=mcfg.image_resolution, scale=(0.05, 1.0))
 
@@ -232,7 +240,7 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
 
     best_acc = -1.0
     step_count = 0
-    for epoch in range(cfg.stage2.epochs):
+    for epoch in range(start_epoch, cfg.stage2.epochs):
         loader.set_epoch(epoch)
         agg: Dict[str, float] = {}
         n = 0
@@ -249,6 +257,7 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
             n += bsz
             step_count += 1
         metrics_log.log(step_count, epoch=epoch, **{k: v / n for k, v in agg.items()})
+        save_pytree({"state": tuple(state), "epoch": epoch}, cfg.stage2.checkpoint_path)
 
         # validation: full 8-head ensemble table (slow_pace.py:946-1136);
         # the gate uses the MTA/hand head ('acc'), the rest are logged

@@ -129,6 +129,15 @@ def run_train_lora(cfg: PipelineConfig) -> dict:
     )
     step_fn = jax.jit(step_fn)
     state = init_state(lora)
+    start_epoch = 0
+
+    from jcf_tpu.utils import load_pytree, save_pytree
+
+    if cfg.stage1.resume and os.path.exists(cfg.stage1.checkpoint_path):
+        ckpt = load_pytree(cfg.stage1.checkpoint_path)
+        state = Stage1State(*ckpt["state"])
+        start_epoch = int(ckpt["epoch"]) + 1
+        logger.info("resuming stage-1 from epoch %d", start_epoch)
 
     metrics_log = MetricLogger(jsonl_path="logs/train_lora.jsonl")
     rng = np.random.default_rng(cfg.stage1.seed)
@@ -140,7 +149,7 @@ def run_train_lora(cfg: PipelineConfig) -> dict:
 
     best_acc = 0.0
     step_count = 0
-    for epoch in range(cfg.stage1.epochs):
+    for epoch in range(start_epoch, cfg.stage1.epochs):
         loader.set_epoch(epoch)
         epoch_loss, epoch_acc, n = 0.0, 0.0, 0
         for images, targets, _ in loader:
@@ -155,6 +164,7 @@ def run_train_lora(cfg: PipelineConfig) -> dict:
             n += bsz
             step_count += 1
         metrics_log.log(step_count, epoch=epoch, loss=epoch_loss / n, acc=epoch_acc / n)
+        save_pytree({"state": tuple(state), "epoch": epoch}, cfg.stage1.checkpoint_path)
 
         if epoch >= cfg.stage1.eval_from_epoch and val_data:
             merged = merge_lora_params(params, state.lora, spec)

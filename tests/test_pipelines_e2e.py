@@ -200,3 +200,21 @@ def test_cli_arg_parsing():
     perf = config_from_args(p.parse_args(["--perf"]))
     assert perf.tta.n_views == 8 and perf.tta.device_crops
     assert perf.runtime.compute_dtype == "bfloat16"
+
+
+def test_stage1_resume(workspace):
+    """Re-invoking stage-1 with more epochs resumes from the checkpoint
+    instead of restarting (capability absent from the reference)."""
+    import dataclasses
+
+    from jcf_tpu.pipelines import run_train_lora
+
+    root, cfg = workspace
+    assert os.path.exists(cfg.stage1.checkpoint_path)
+    cfg3 = dataclasses.replace(
+        cfg, stage1=dataclasses.replace(cfg.stage1, epochs=3)
+    )
+    out = run_train_lora(cfg3)
+    # only epoch 2 runs (epochs 0-1 done before checkpointing): 10 samples
+    # in batches of 4 -> 3 steps
+    assert out["steps"] == 3
