@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 def main() -> None:
     batch = int(os.environ.get("JCF_BENCH_BATCH", "128"))
-    n_views = int(os.environ.get("JCF_BENCH_VIEWS", "8"))
+    # total views per image (BASELINE's N=8): center + (N-1) random crops
+    n_views_total = int(os.environ.get("JCF_BENCH_VIEWS", "8"))
+    n_views = n_views_total - 1
     iters = int(os.environ.get("JCF_BENCH_ITERS", "20"))
     warmup = int(os.environ.get("JCF_BENCH_WARMUP", "3"))
     baseline = float(os.environ.get("JCF_BENCH_BASELINE", "5000"))
@@ -69,7 +71,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"ViT-B/32 TTA inference throughput (N={n_views} device-sampled crops + center, bf16, MTA)",
+                "metric": f"ViT-B/32 TTA inference throughput (N={n_views_total} views/image incl. center, bf16, device crops, MTA)",
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / baseline, 4),
