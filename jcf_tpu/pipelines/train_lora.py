@@ -68,23 +68,39 @@ def lora_spec_from_config(cfg: PipelineConfig) -> LoraSpec:
     )
 
 
-def evaluate_mta(cfg, params, mcfg, text_weights, val_data) -> float:
-    """MTA boundary-accuracy validation (``lora_train_vlp.py:813-846``
-    semantics with the ood-style accuracy metric)."""
+def evaluate_lora_val(cfg, params, mcfg, text_weights, val_data) -> dict:
+    """Stage-1 validation triple (``lora_train_vlp.py:822-855``): boundary
+    accuracy of the MTA head, the single center-crop head, and the
+    crop-mean ensemble head."""
     engine = TTAEngine(
         params, mcfg, dtype=compute_dtype(cfg), impl=cfg.runtime.attention_impl,
         n_views=cfg.tta.n_views, crop_scale=cfg.tta.crop_scale,
     )
     loader = tta_loader(cfg, val_data, mcfg, normalize=True)
-    total, acc_sum = 0, 0.0
+    total = 0
+    sums = {"acc_mta": 0.0, "acc_center": 0.0, "acc_mean": 0.0}
     for center, crops, labels, _, _ in loader:
         stacked = stack_center_and_crops(center, crops)
+        t = jnp.asarray(labels)
+        b = len(labels)
+
+        feats = engine.crop_features(stacked)  # [B, N+1, D]
         modes = engine.features_from_crops(stacked, text_weights)
-        logits = engine.logits(modes, text_weights)
-        acc = float(boundary_accuracy(logits, jnp.asarray(labels)))
-        acc_sum += acc * len(labels)
-        total += len(labels)
-    return acc_sum / max(total, 1)
+
+        logits_mta = engine.logits(modes, text_weights)
+        logits_center = engine.logits(feats[:, 0], text_weights)
+        logits_mean = engine.logits(feats.mean(axis=1), text_weights)
+
+        sums["acc_mta"] += float(boundary_accuracy(logits_mta, t)) * b
+        sums["acc_center"] += float(boundary_accuracy(logits_center, t)) * b
+        sums["acc_mean"] += float(boundary_accuracy(logits_mean, t)) * b
+        total += b
+    return {k: v / max(total, 1) for k, v in sums.items()}
+
+
+def evaluate_mta(cfg, params, mcfg, text_weights, val_data) -> float:
+    """MTA-head boundary accuracy (gating metric)."""
+    return evaluate_lora_val(cfg, params, mcfg, text_weights, val_data)["acc_mta"]
 
 
 def run_train_lora(cfg: PipelineConfig) -> dict:
@@ -170,8 +186,11 @@ def run_train_lora(cfg: PipelineConfig) -> dict:
             merged = merge_lora_params(params, state.lora, spec)
             templates = ensure_templates(cfg)
             tw = build_text_weights(merged, mcfg, templates, cfg)
-            acc_val = evaluate_mta(cfg, merged, mcfg, tw, val_data)
-            metrics_log.log(step_count, epoch=epoch, val_acc=acc_val)
+            accs = evaluate_lora_val(cfg, merged, mcfg, tw, val_data)
+            acc_val = accs["acc_mta"]
+            metrics_log.log(step_count, epoch=epoch,
+                            val_acc=acc_val, val_acc_center=accs["acc_center"],
+                            val_acc_mean=accs["acc_mean"])
             if acc_val > best_acc:
                 best_acc = acc_val
                 save_lora(
