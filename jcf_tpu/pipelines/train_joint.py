@@ -133,6 +133,20 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
         cfg, params_zs_merged, mcfg_zs, text_zs, train_data, cfg.stage2.feature_cache_1
     )
 
+    # val-split cache + zero-shot sanity accuracy (slow_pace.py:1516-1529)
+    if os.path.exists(cfg.data.val_split):
+        val_data_for_cache = read_labeled_split(cfg.data.val_split, classname_of=l2c.get)
+        test_feats, test_labels = _precompute_zs_features(
+            cfg, params_zs_merged, mcfg_zs, text_zs, val_data_for_cache,
+            cfg.stage2.feature_cache_2, label_cache=cfg.stage2.label_cache_2,
+        )
+        if test_labels is not None:
+            from jcf_tpu.ops.stats import top_k_accuracy
+
+            zs_logits_val = 100.0 * test_feats @ text_zs.T
+            zs_acc = float(top_k_accuracy(zs_logits_val, jnp.asarray(test_labels)))
+            logger.info("**** Zero-shot CLIP's val accuracy: %.2f ****", zs_acc)
+
     # per-bank zs text features (slow_pace.py:1600-1609)
     banks: List[jnp.ndarray] = []
     for idx in range(1, 9):
