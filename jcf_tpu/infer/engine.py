@@ -76,9 +76,13 @@ def crop_resize_matrices(
 
 def apply_crop_resize(images: jax.Array, wy: jax.Array, wx: jax.Array) -> jax.Array:
     """images [B, C, H, W] x (wy [B, out, H], wx [B, out, W]) ->
-    [B, C, out, out] — two MXU matmuls per view."""
-    t = jnp.einsum("boh,bchw->bcow", wy, images, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("bow,bcqw->bcqo", wx, t, precision=jax.lax.Precision.HIGHEST)
+    [B, C, out, out] — two MXU matmuls per view.
+
+    Default matmul precision: pixel resampling of 8-bit-origin data doesn't
+    need the 6-pass f32 path (HIGHEST measured ~6x slower here; the
+    truncation error is far below JPEG noise)."""
+    t = jnp.einsum("boh,bchw->bcow", wy, images)
+    return jnp.einsum("bow,bcqw->bcqo", wx, t)
 
 
 def sample_crop_boxes(
