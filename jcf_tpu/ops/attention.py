@@ -197,6 +197,12 @@ def _packed_attn_kernel(qkv_ref, bias_ref, out_ref, *, n_heads, head_dim, scale,
             ).astype(out_ref.dtype)
         return 0
 
+    # NOTE: a head-PAIR stacking variant (two heads concatenated along the
+    # sequence axis with a block-diagonal mask — exact math, half the
+    # matmul count at double tile fill) is blocked by a Mosaic limitation:
+    # tpu.concatenate rejects operands with differing lane offsets
+    # ("result/input offset mismatch on non-concat dimension"). Revisit
+    # via VMEM scratch staging if attention shows up in profiles again.
     jax.lax.fori_loop(0, group, crop_body, 0)
 
 

@@ -120,13 +120,14 @@ def test_packed_attention_matches_xla():
     import numpy as np
 
     rng = np.random.default_rng(8)
-    b, s, h, d = 4, 10, 3, 8
-    e = h * d
-    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * e)).astype(np.float32))
-    qkv4 = qkv.reshape(b, s, 3, h, d)
-    q, k, v = (jnp.moveaxis(qkv4[:, :, i], 2, 1) for i in range(3))
-    for mask in (None, causal_mask(s)):
-        ref = _attention_xla(q, k, v, mask)
-        ref = jnp.moveaxis(ref, 1, 2).reshape(b, s, e)
-        out = packed_attention(qkv, h, mask, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    for h in (3, 4):  # odd -> per-head loop; even -> head-PAIR stacking
+        b, s, d = 4, 10, 8
+        e = h * d
+        qkv = jnp.asarray(rng.standard_normal((b, s, 3 * e)).astype(np.float32))
+        qkv4 = qkv.reshape(b, s, 3, h, d)
+        q, k, v = (jnp.moveaxis(qkv4[:, :, i], 2, 1) for i in range(3))
+        for mask in (None, causal_mask(s)):
+            ref = _attention_xla(q, k, v, mask)
+            ref = jnp.moveaxis(ref, 1, 2).reshape(b, s, e)
+            out = packed_attention(qkv, h, mask, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
