@@ -196,6 +196,25 @@ def _run_blocks(
     # by the caller before the scan, jclip/model1.py:78-91)
     depth = (deep_prompts.shape[0] + 1) if deep_prompts is not None else 0
 
+    # fused-block fast path (PERF.md): whole half-blocks in VMEM. Only for
+    # plain inference — LoRA/quant/deep-prompt variants use the composable
+    # path below.
+    use_fused = (
+        impl in (None, "fused")
+        and jax.default_backend() == "tpu"
+        and lora_ctx is None
+        and quant is None
+        and deep_prompts is None
+        and x.shape[1] < 128
+    )
+    if impl == "fused" or use_fused:
+        from jcf_tpu.ops.block_kernel import run_fused_tower
+
+        return run_fused_tower(
+            x, blocks, n_heads, mask,
+            interpret=jax.default_backend() != "tpu",
+        )
+
     def body(carry, scanned):
         x, layer_idx = carry
         params, prompt, lora_layer, lora_gate, quant_layer = scanned

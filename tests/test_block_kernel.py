@@ -1,0 +1,65 @@
+"""Fused transformer-tower kernels vs the composable path (interpret mode)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from jcf_tpu.models import CLIPConfig, init_clip_params, encode_image, encode_text
+from jcf_tpu.ops.attention import causal_mask, multi_head_attention
+from jcf_tpu.ops.block_kernel import run_fused_tower
+from jcf_tpu.ops.layers import layer_norm, mlp
+
+CFG = CLIPConfig(
+    embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+    vision_patch_size=8, context_length=16, vocab_size=120, text_width=128,
+    text_heads=2, text_layers=2,
+)
+
+RNG = np.random.default_rng(41)
+
+
+def _composable_tower(params, tower, x, n_heads, mask=None):
+    blocks = params[tower]["blocks"]
+    n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    for i in range(n_layers):
+        layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
+        x = x + multi_head_attention(
+            layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"]),
+            layer["attn"], n_heads, mask, impl="xla",
+        )
+        x = x + mlp(layer_norm(x, layer["ln_2"]["scale"], layer["ln_2"]["bias"]), layer["mlp"])
+    return x
+
+
+def test_fused_tower_unpadded_seq():
+    """S=17 (not a sublane multiple) exercises the pad+mask path."""
+    params = init_clip_params(0, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 64)).astype(np.float32))
+    ref = _composable_tower(params, "visual", x, 1)
+    out = run_fused_tower(x, params["visual"]["blocks"], 1, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_tower_with_causal_mask():
+    params = init_clip_params(1, CFG)
+    x = jnp.asarray(RNG.standard_normal((3, 16, 128)).astype(np.float32))
+    mask = causal_mask(16)
+    ref = _composable_tower(params, "text", x, 2, mask)
+    out = run_fused_tower(x, params["text"]["blocks"], 2, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_tower_matches_composable():
+    params = init_clip_params(2, CFG)
+    images = jnp.asarray(RNG.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    ref = np.asarray(encode_image(params, CFG, images, impl="xla"))
+    out = np.asarray(encode_image(params, CFG, images, impl="fused"))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    ids = np.zeros((2, 16), np.int32)
+    ids[:, 0] = 118
+    ids[:, 1:3] = [[5, 119], [40, 119]]
+    ref_t = np.asarray(encode_text(params, CFG, jnp.asarray(ids), impl="xla"))
+    out_t = np.asarray(encode_text(params, CFG, jnp.asarray(ids), impl="fused"))
+    np.testing.assert_allclose(out_t, ref_t, atol=2e-4)
