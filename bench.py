@@ -32,6 +32,7 @@ def main() -> None:
     iters = int(os.environ.get("JCF_BENCH_ITERS", "20"))
     warmup = int(os.environ.get("JCF_BENCH_WARMUP", "3"))
     baseline = float(os.environ.get("JCF_BENCH_BASELINE", "5000"))
+    quant = os.environ.get("JCF_BENCH_QUANT") or None  # "int8" W8A8 towers
 
     from jcf_tpu.infer import TTAEngine
     from jcf_tpu.models import VIT_B_32, init_clip_params
@@ -44,6 +45,7 @@ def main() -> None:
         dtype=jnp.bfloat16,
         n_views=n_views,
         normalize_views=True,
+        quant=quant,
     )
 
     rng = np.random.default_rng(0)
@@ -71,7 +73,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"ViT-B/32 TTA inference throughput (N={n_views_total} views/image incl. center, bf16, device crops, MTA)",
+                "metric": (
+                    f"ViT-B/32 TTA inference throughput (N={n_views_total} views/image "
+                    f"incl. center, {'int8 W8A8' if quant else 'bf16'}, device crops, MTA)"
+                ),
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / baseline, 4),

@@ -203,7 +203,6 @@ def _run_blocks(
         impl in (None, "fused")
         and jax.default_backend() == "tpu"
         and lora_ctx is None
-        and quant is None
         and deep_prompts is None
         and x.shape[1] < 128
     )
@@ -211,7 +210,7 @@ def _run_blocks(
         from jcf_tpu.ops.block_kernel import run_fused_tower
 
         return run_fused_tower(
-            x, blocks, n_heads, mask,
+            x, blocks, n_heads, mask, quant=quant,
             interpret=jax.default_backend() != "tpu",
         )
 

@@ -63,3 +63,22 @@ def test_fused_tower_matches_composable():
     ref_t = np.asarray(encode_text(params, CFG, jnp.asarray(ids), impl="xla"))
     out_t = np.asarray(encode_text(params, CFG, jnp.asarray(ids), impl="fused"))
     np.testing.assert_allclose(out_t, ref_t, atol=2e-4)
+
+
+def test_fused_tower_int8_tracks_float():
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(3, CFG)
+    quant = quantize_clip_params(params)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 64)).astype(np.float32))
+    ref = np.asarray(run_fused_tower(x, params["visual"]["blocks"], 1, None, interpret=True))
+    out = np.asarray(
+        run_fused_tower(
+            x, params["visual"]["blocks"], 1, None,
+            quant=quant["visual"], interpret=True,
+        )
+    )
+    cos = (ref * out).sum(-1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.98, cos.min()
