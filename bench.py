@@ -32,7 +32,10 @@ def main() -> None:
     iters = int(os.environ.get("JCF_BENCH_ITERS", "20"))
     warmup = int(os.environ.get("JCF_BENCH_WARMUP", "3"))
     baseline = float(os.environ.get("JCF_BENCH_BASELINE", "5000"))
-    quant = os.environ.get("JCF_BENCH_QUANT") or None  # "int8" W8A8 towers
+    # serving config: int8 W8A8 towers by default (per-feature cosine vs
+    # bf16 > 0.999; PERF.md). JCF_BENCH_QUANT=none measures the bf16 path.
+    quant = os.environ.get("JCF_BENCH_QUANT", "int8")
+    quant = None if quant in ("", "none", "bf16") else quant
 
     from jcf_tpu.infer import TTAEngine
     from jcf_tpu.models import VIT_B_32, init_clip_params
