@@ -81,6 +81,8 @@ def apply_crop_resize(images: jax.Array, wy: jax.Array, wx: jax.Array) -> jax.Ar
     Default matmul precision: pixel resampling of 8-bit-origin data doesn't
     need the 6-pass f32 path (HIGHEST measured ~6x slower here; the
     truncation error is far below JPEG noise)."""
+    wy = wy.astype(images.dtype)
+    wx = wx.astype(images.dtype)
     t = jnp.einsum("boh,bchw->bcow", wy, images)
     return jnp.einsum("bow,bcqw->bcqo", wx, t)
 
@@ -207,13 +209,18 @@ class TTAEngine:
 
         @jax.jit
         def features_from_images(params, images, text_weights, key):
+            # normalize + cast BEFORE the Nx view expansion: CLIP
+            # normalization is affine and resampling/flip are linear, so
+            # they commute — this touches 1x the pixels instead of Nx and
+            # runs the crop matmuls in the compute dtype
+            if normalize_views:
+                images = (images - mean) / std
+            images = images.astype(dtype)
             views = device_random_crops(
                 images, key, n_views, cfg.image_resolution, crop_scale
             )
             center = _center_crop_view(images, cfg.image_resolution)
             views = jnp.concatenate([center[:, None], views], axis=1)
-            if normalize_views:
-                views = (views - mean) / std
             clouds = _encode_cloud(params, views)
             return solve_mta_batch(clouds, text_weights, self.mta)
 
