@@ -38,7 +38,6 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
 
     data = walk_test_dir(cfg.data.test_dir)
     logger.info("OOD split over %d images (%d views/image)", len(data), cfg.tta.n_views)
-    loader = tta_loader(cfg, data, mcfg, normalize=True)
 
     engine = TTAEngine(
         params,
@@ -56,12 +55,9 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
     timer = Timer()
     n_base = n_new = 0
     with open(base_path, "w") as f1, open(new_path, "w") as f2:
-        for center, crops, _, impaths, _ in loader:
-            with timer.phase("tta_batch"):
-                stacked = stack_center_and_crops(center, crops)
-                modes = engine.features_from_crops(stacked, text_weights)
-                logits = engine.logits(modes, text_weights)
-                preds = np.asarray(jnp.argmax(logits, axis=-1))
+
+        def write_preds(impaths, preds):
+            nonlocal n_base, n_new
             for impath, pred in zip(impaths, preds):
                 if pred <= OOD_BOUNDARY_PRED:
                     f1.write(impath + "\n")
@@ -69,6 +65,42 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
                 else:
                     f2.write(impath + "\n")
                     n_new += 1
+
+        if cfg.tta.device_crops:
+            # throughput path (--perf): the host ships ONE square source
+            # image per input (native C++ decode when available); crop
+            # views are sampled on-chip (PERF.md)
+            import jax
+
+            from jcf_tpu.native import decode_batch
+
+            key = jax.random.PRNGKey(0)
+            bsz = cfg.tta.batch_images
+            src = max(cfg.tta.resize_to * mcfg.image_resolution // 224,
+                      mcfg.image_resolution)
+            for start in range(0, len(data), bsz):
+                chunk = data[start : start + bsz]
+                impaths = [d.impath for d in chunk]
+                with timer.phase("decode"):
+                    images = decode_batch(impaths, resize_to=src, out_size=src)
+                with timer.phase("tta_batch"):
+                    key, sub = jax.random.split(key)
+                    modes = engine.features_from_images(
+                        jnp.asarray(images), text_weights, sub
+                    )
+                    logits = engine.logits(modes, text_weights)
+                    preds = np.asarray(jnp.argmax(logits, axis=-1))
+                write_preds(impaths, preds)
+        else:
+            # parity path: seeded host PIL crops (reference crop semantics)
+            loader = tta_loader(cfg, data, mcfg, normalize=True)
+            for center, crops, _, impaths, _ in loader:
+                with timer.phase("tta_batch"):
+                    stacked = stack_center_and_crops(center, crops)
+                    modes = engine.features_from_crops(stacked, text_weights)
+                    logits = engine.logits(modes, text_weights)
+                    preds = np.asarray(jnp.argmax(logits, axis=-1))
+                write_preds(impaths, preds)
 
     summary = timer.summary()
     logger.info("OOD split done: %d base / %d new — %s", n_base, n_new, summary)

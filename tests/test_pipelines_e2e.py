@@ -218,3 +218,19 @@ def test_stage1_resume(workspace):
     # only epoch 2 runs (epochs 0-1 done before checkpointing): 10 samples
     # in batches of 4 -> 3 steps
     assert out["steps"] == 3
+
+
+def test_ood_device_crops_path(workspace):
+    """--perf-style OOD split: device-sampled views from native-decoded
+    square sources; same file contract as the host-crop path."""
+    root, cfg = workspace
+    cfg_perf = dataclasses.replace(
+        cfg, tta=dataclasses.replace(cfg.tta, device_crops=True, batch_images=2)
+    )
+    from jcf_tpu.pipelines import run_ood_split
+
+    out = run_ood_split(cfg_perf)
+    assert out["n_base"] + out["n_new"] == 4
+    lines = open(out["base_path"]).read().splitlines() + open(out["new_path"]).read().splitlines()
+    assert len(lines) == 4
+    assert all(l.endswith(".jpg") for l in lines)
