@@ -1,0 +1,48 @@
+"""Minimal tower-only timing: 12 fused int8 blocks at bench shapes.
+
+Env: JCF_GROUP (default 8), JCF_VMEM_MB (default 100), JCF_QUANT (int8|bf16)
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import jcf_tpu.ops.block_kernel as bk
+    bk._GROUP_TARGET = int(os.environ.get("JCF_GROUP", "8"))
+    bk._VMEM_LIMIT = int(os.environ.get("JCF_VMEM_MB", "100")) * 1024 * 1024
+    bk._FUSE = os.environ.get("JCF_FUSE", "block")
+
+    from jcf_tpu.models import VIT_B_32, init_clip_params
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    cfg = VIT_B_32
+    params = init_clip_params(0, cfg)
+    quant = os.environ.get("JCF_QUANT", "int8")
+    qp = quantize_clip_params(params)["visual"] if quant == "int8" else None
+    blocks = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), params["visual"]["blocks"])
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(jnp.asarray(
+        rng.standard_normal((1024, 50, cfg.vision_width)).astype(np.float32)
+    ).astype(jnp.bfloat16))
+
+    fn = jax.jit(lambda x: bk.run_fused_tower(x, blocks, cfg.vision_heads, quant=qp))
+    for _ in range(3):
+        out = fn(x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [fn(x) for _ in range(20)]
+    jax.block_until_ready(outs)
+    t = (time.perf_counter() - t0) / 20 * 1e3
+    print(f"group={bk._GROUP_TARGET} vmem={bk._VMEM_LIMIT>>20}MB quant={quant} fuse={bk._FUSE}: "
+          f"tower {t:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
