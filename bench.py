@@ -52,8 +52,12 @@ def main() -> None:
     )
 
     rng = np.random.default_rng(0)
+    # staged in the compute dtype: the serving host uploads bf16 pixels
+    # (raw [0,1] range — normalization is folded into the patch embed)
     images = jax.device_put(
-        jnp.asarray(rng.random((batch, 3, 256, 256)).astype(np.float32))
+        jnp.asarray(rng.random((batch, 3, 256, 256)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
     )
     text = rng.standard_normal((403, cfg.embed_dim)).astype(np.float32)
     text = jax.device_put(jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True)))

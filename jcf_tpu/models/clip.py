@@ -305,6 +305,64 @@ def _patchify(images: jax.Array, patch: int) -> jax.Array:
     return x.reshape(b, gh * gw, c * patch * patch)
 
 
+def _patchify_nhcw(images: jax.Array, patch: int) -> jax.Array:
+    """[B, H, 3, W] -> same tokens as ``_patchify`` on [B, 3, H, W].
+
+    The device-side TTA crop sampler emits views in NHCW layout (the
+    row-resample GEMM leaves H outermost); patchifying that layout
+    directly avoids a full-size transpose back to NCHW.
+    """
+    b, h, c, w_ = images.shape
+    gh, gw = h // patch, w_ // patch
+    x = images.reshape(b, gh, patch, c, gw, patch)
+    x = x.transpose(0, 1, 4, 3, 2, 5)  # [B, gh, gw, c, p, p]
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def embed_views_nhcw(
+    views: jax.Array,  # [M, (gh p), C, (gw p)]
+    w4: jax.Array,  # [C, p, p, E] — patch_embed.w transposed/reshaped
+    bias: Optional[jax.Array] = None,  # [E] (e.g. folded normalization)
+) -> jax.Array:
+    """Patchify + patch-embed of NHCW views as ONE dot_general (no explicit
+    patch transpose — XLA folds the regroup into the GEMM operand read).
+    Returns [M, gh*gw, E] tokens identical to
+    ``linear(_patchify(views_nchw), w)``."""
+    m, hh, c, ww = views.shape
+    p = w4.shape[1]
+    g = hh // p
+    x = views.reshape(m, g, p, c, g, p)
+    out = jax.lax.dot_general(
+        x, w4, (((2, 3, 5), (1, 0, 2)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [M, gh, gw, E]
+    out = out.reshape(m, g * g, -1)
+    return out if bias is None else out + bias
+
+
+def fold_normalize_into_embed(
+    w: jax.Array,  # [E, C*p*p] patch_embed weight, (c, ph, pw) pixel order
+    mean, std, patch: int, dtype=jnp.float32,
+):
+    """CLIP normalization is per-channel affine and crop resampling is a
+    convex linear map (interp rows sum to 1), so they commute; fold the
+    affine into the patch embedding instead of touching pixels:
+      W'_j = W_j / std_c(j);  bias = -sum_j W_j * mean_c(j) / std_c(j)
+    Returns (w4 [C, p, p, E] for ``embed_views_nhcw``, bias [E] f32).
+    """
+    import numpy as np
+
+    w_np = np.asarray(w, np.float32)
+    pp = patch * patch
+    chan = np.repeat(np.arange(w_np.shape[1] // pp), pp)
+    mean = np.asarray(mean, np.float32)[chan]
+    std = np.asarray(std, np.float32)[chan]
+    w_fold = w_np / std[None, :]
+    bias = -(w_np * (mean / std)[None, :]).sum(axis=1)
+    w4 = w_fold.T.reshape(-1, patch, patch, w_np.shape[0])
+    return jnp.asarray(w4).astype(dtype), jnp.asarray(bias)
+
+
 def encode_image(
     params: dict,
     cfg: CLIPConfig,
@@ -314,12 +372,32 @@ def encode_image(
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
+    layout: str = "nchw",
 ) -> jax.Array:
     """Image features [B, embed_dim] (pre-normalization), as
     ``jclip/model.py:104-126`` / prompted ``model1.py:180-207``."""
     v = params["visual"]
-    x = _patchify(images.astype(dtype), cfg.vision_patch_size)
+    patchify = _patchify if layout == "nchw" else _patchify_nhcw
+    x = patchify(images.astype(dtype), cfg.vision_patch_size)
     x = linear(x, v["patch_embed"]["w"].astype(dtype))  # [B, G², W]
+    return encode_image_tokens(
+        params, cfg, x, dtype=dtype, impl=impl, lora_ctx=lora_ctx, quant=quant
+    )
+
+
+def encode_image_tokens(
+    params: dict,
+    cfg: CLIPConfig,
+    x: jax.Array,  # [B, G², W] embedded patch tokens (pre-CLS)
+    *,
+    dtype=jnp.float32,
+    impl: Optional[str] = None,
+    lora_ctx: Optional[dict] = None,
+    quant: Optional[dict] = None,
+) -> jax.Array:
+    """Vision tower from embedded patch tokens (CLS prepend onward)."""
+    v = params["visual"]
+    x = x.astype(dtype)
 
     cls = jnp.broadcast_to(
         v["class_embedding"].astype(dtype)[None, None, :],
