@@ -61,6 +61,9 @@ class Stage1Config:
     seed: int = 1
     crop_scale: Tuple[float, float] = (0.05, 1.0)  # train RRC (ood.py:1077-1082)
     save_path: str = "lora_weights1/lora_weights.pkl"
+    # folder of LoRA pkls to average (SWA) instead of loading save_path —
+    # the reference ships this as load_lora_swa (test.py:736-816)
+    swa_dir: str = ""
     # idempotent restart (absent from the reference — SURVEY.md §5)
     resume: bool = True
     checkpoint_path: str = "checkpoints/stage1_state.pkl"

@@ -303,9 +303,14 @@ class TTAEngine:
         def cloud_features(params, crops):
             return _encode_cloud(params, crops)
 
+        @jax.jit
+        def mta_from_features(feats, text_weights):
+            return solve_mta_batch(feats, text_weights, self.mta)
+
         self._features_from_crops = features_from_crops
         self._features_from_images = features_from_images
         self._cloud_features = cloud_features
+        self._mta_from_features = mta_from_features
 
     def features_from_crops(self, crops, text_weights):
         """crops [B, N, 3, s, s] (row 0 should be the center view) ->
@@ -320,6 +325,15 @@ class TTAEngine:
     def crop_features(self, crops):
         """[B, N, 3, s, s] -> per-view L2-normalized features [B, N, D]."""
         return self._cloud_features(self._params, crops)
+
+    def mta_from_features(self, feats, text_weights):
+        """Cached per-view features [B, N, D] -> MTA mode features [B, D].
+
+        ``features_from_crops(crops, t) == mta_from_features(crop_features(
+        crops), t)`` — lets callers encode a crop cloud once and solve MTA
+        against several classifiers (the reference encodes once per tower,
+        /root/reference/test.py:1705-1710)."""
+        return self._mta_from_features(feats, text_weights)
 
     def logits(self, modes, text_weights):
         return (modes @ text_weights.T) * 100.0

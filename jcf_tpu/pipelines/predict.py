@@ -61,13 +61,19 @@ def run_predict(cfg: PipelineConfig, results_dir: str = "final_results") -> dict
     impl = cfg.runtime.attention_impl
     out_dir = cfg.stage2.out_dir
 
-    # --- zs tower: base CLIP + stage-1 LoRA
+    # --- zs tower: base CLIP + stage-1 LoRA (optionally folder-averaged
+    # SWA, the reference's load_lora_swa capability — test.py:736-816)
     params_zs, mcfg_zs = load_model_for_pipeline(cfg, prompted=False)
-    lora1 = load_lora(
-        cfg.stage1.save_path, spec,
+    lora_kwargs = dict(
         n_text=mcfg_zs.text_layers, text_width=mcfg_zs.text_width,
         n_vision=mcfg_zs.vision_layers, vision_width=mcfg_zs.vision_width,
     )
+    if cfg.stage1.swa_dir:
+        from jcf_tpu.peft import load_lora_swa
+
+        lora1 = load_lora_swa(cfg.stage1.swa_dir, spec, **lora_kwargs)
+    else:
+        lora1 = load_lora(cfg.stage1.save_path, spec, **lora_kwargs)
     params_zs_merged = merge_lora_params(params_zs, lora1, spec)
 
     # --- prompted tower: stage-2 checkpoint (with VPT) + stage-2 LoRA
@@ -127,8 +133,13 @@ def run_predict(cfg: PipelineConfig, results_dir: str = "final_results") -> dict
         stacked = np.concatenate([center, crops], axis=1)
         clip_in = jnp.asarray((stacked - clip_mean) / clip_std)
 
-        mode_pt = engine_pt.features_from_crops(clip_in, text_pt)
-        mode_hand = engine_pt.features_from_crops(clip_in, text_hand)
+        # encode the crop cloud ONCE per tower, then solve MTA per
+        # classifier (the reference does the same: one encode, three
+        # solves — /root/reference/test.py:1705-1710); bit-identical to
+        # features_from_crops but halves the dominant ViT cost
+        feats_pt = engine_pt.crop_features(clip_in)
+        mode_pt = engine_pt.mta_from_features(feats_pt, text_pt)
+        mode_hand = engine_pt.mta_from_features(feats_pt, text_hand)
         mode_zs = engine_zs.features_from_crops(clip_in, text_zs)
         combine = (mode_pt + mode_hand) / 2
 

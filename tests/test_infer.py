@@ -90,6 +90,26 @@ def test_engine_crops_path_matches_manual():
     assert logits.shape == (2, 7)
 
 
+def test_engine_single_encode_matches_per_classifier_encode():
+    """Cached-features MTA (encode once, solve per classifier) must be
+    bit-identical to features_from_crops per classifier — the predict base
+    path relies on this to halve its ViT cost (VERDICT weak #1)."""
+    params = init_clip_params(0, TINY)
+    engine = TTAEngine(params, TINY, impl="xla", n_views=5)
+    crops = jnp.asarray(RNG.standard_normal((2, 6, 3, 32, 32)).astype(np.float32))
+
+    def classifier(seed, c):
+        t = np.random.default_rng(seed).standard_normal((c, 48)).astype(np.float32)
+        return jnp.asarray(t / np.linalg.norm(t, axis=-1, keepdims=True))
+
+    t1, t2 = classifier(1, 7), classifier(2, 7)
+    feats = engine.crop_features(crops)
+    for t in (t1, t2):
+        old = engine.features_from_crops(crops, t)
+        new = engine.mta_from_features(feats, t)
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
 def test_engine_device_crop_path_runs():
     params = init_clip_params(0, TINY)
     engine = TTAEngine(params, TINY, impl="xla", n_views=4, normalize_views=False)

@@ -220,6 +220,52 @@ def test_stage1_resume(workspace):
     assert out["steps"] == 3
 
 
+def test_predict_swa_dir(workspace):
+    """`jcf-predict --swa_dir`: the stage-1 LoRA comes from folder-averaged
+    pkls (load_lora_swa, reference test.py:736-816) and the pipeline runs
+    end-to-end on the averaged weights."""
+    root, cfg = workspace
+    swa = root / "swa_loras"
+    swa.mkdir(exist_ok=True)
+    with open(cfg.stage1.save_path, "rb") as f:
+        payload = pickle.load(f)
+    # two checkpoints: w and 3w -> SWA average 2w (differs from save_path)
+    with open(swa / "epoch1.pkl", "wb") as f:
+        pickle.dump(payload, f)
+    scaled = {
+        "metadata": payload["metadata"],
+        "weights": {
+            layer: {proj: {k: 3.0 * v for k, v in d.items()} for proj, d in projs.items()}
+            for layer, projs in payload["weights"].items()
+        },
+    }
+    with open(swa / "epoch2.pkl", "wb") as f:
+        pickle.dump(scaled, f)
+
+    from jcf_tpu.peft import load_lora, load_lora_swa
+    from jcf_tpu.pipelines import run_predict
+    from jcf_tpu.pipelines.train_lora import lora_spec_from_config
+
+    spec = lora_spec_from_config(cfg)
+    kw = dict(n_text=TINY.text_layers, text_width=TINY.text_width,
+              n_vision=TINY.vision_layers, vision_width=TINY.vision_width)
+    averaged = load_lora_swa(str(swa), spec, **kw)
+    single = load_lora(cfg.stage1.save_path, spec, **kw)
+    for tower in ("text", "vision"):
+        np.testing.assert_allclose(
+            np.asarray(averaged[tower]["a_qkv"]),
+            2.0 * np.asarray(single[tower]["a_qkv"]), rtol=1e-6,
+        )
+
+    cfg_swa = dataclasses.replace(
+        cfg, stage1=dataclasses.replace(cfg.stage1, swa_dir=str(swa))
+    )
+    out = run_predict(cfg_swa, results_dir="final_results_swa")
+    result = open(out["result"]).read().splitlines()
+    assert len(result) == 4
+    assert all(len(l.split()) == 6 for l in result)
+
+
 def test_ood_device_crops_path(workspace):
     """--perf-style OOD split: device-sampled views from native-decoded
     square sources; same file contract as the host-crop path."""
