@@ -33,7 +33,7 @@ def build_parser(description: str, default_seed: int) -> argparse.ArgumentParser
     # TPU-native knobs
     p.add_argument("--n_views", type=int, default=512,
                    help="TTA crop count (reference: 512; perf preset: 8)")
-    p.add_argument("--batch_images", type=int, default=1)
+    p.add_argument("--batch_images", type=int, default=None)
     p.add_argument("--dtype", type=str, choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--attention_impl", type=str, default=None,
                    choices=[None, "pallas", "xla"], nargs="?")
@@ -64,7 +64,11 @@ def config_from_args(args: argparse.Namespace) -> PipelineConfig:
         tta=dataclasses.replace(
             cfg.tta,
             n_views=args.n_views if not getattr(args, "perf", False) else cfg.tta.n_views,
-            batch_images=args.batch_images if not getattr(args, "perf", False) else cfg.tta.batch_images,
+            batch_images=(
+                args.batch_images
+                if args.batch_images is not None and not getattr(args, "perf", False)
+                else cfg.tta.batch_images
+            ),
         ),
         runtime=dataclasses.replace(
             cfg.runtime,

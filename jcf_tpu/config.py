@@ -35,7 +35,10 @@ class TTAConfig:
     view_size: int = 224
     resize_to: int = 256
     device_crops: bool = False  # True = sample views on-chip (throughput path)
-    batch_images: int = 1  # images per device batch
+    # images per device batch. Per-image results are independent (MTA is
+    # vmapped), so batching changes nothing but throughput; the reference's
+    # bs=1 test loader (ood.py:1094) is just slow.
+    batch_images: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,6 +104,7 @@ class RuntimeConfig:
     clip_checkpoint: str = "ViT-B-32.pkl"
     compute_dtype: str = "float32"  # "bfloat16" for the perf path
     attention_impl: Optional[str] = None  # None = auto (pallas on TPU)
+    quant: Optional[str] = None  # "int8" = W8A8 serving towers (certified)
     mesh_axis: str = "data"
     profile_dir: Optional[str] = None
 
@@ -120,8 +124,10 @@ def perf_preset() -> PipelineConfig:
     base = PipelineConfig()
     return dataclasses.replace(
         base,
-        tta=dataclasses.replace(base.tta, n_views=8, device_crops=True, batch_images=64),
-        runtime=dataclasses.replace(base.runtime, compute_dtype="bfloat16"),
+        tta=dataclasses.replace(base.tta, n_views=8, device_crops=True, batch_images=128),
+        runtime=dataclasses.replace(
+            base.runtime, compute_dtype="bfloat16", quant="int8"
+        ),
     )
 
 

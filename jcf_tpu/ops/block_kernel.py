@@ -49,11 +49,14 @@ def _ln_rows(x, scale, bias, eps=1e-5):
 def _quant_rows(x32):
     """Dynamic per-row symmetric int8: (values int8, scale [rows, 1] f32).
     Runs on rows already resident in VMEM — the quantization passes that
-    made the naive XLA int8 path a wash (PERF.md) fuse here for free."""
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    made the naive XLA int8 path a wash (PERF.md) fuse here for free.
+    Quantizes via reciprocal-multiply (per-row reciprocal, per-element
+    mul) — VPU divides cost ~4x a multiply and this runs on every
+    activation element in the tower."""
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8)
+    inv = 127.0 / amax
+    q = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+    return q, amax * (1.0 / 127.0)
 
 
 def _int8_gemm(x_q, x_scale, w_int8_ref, w_scale_ref, bias_ref):
@@ -78,7 +81,13 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
     G x H fori_loop of tiny matmuls (measured ~20x faster at tower shapes).
     """
     e = n_heads * head_dim
+    if _ATTN_STUB:  # perf attribution: skip scores/softmax/PV entirely
+        return qkv[:, :e].astype(jnp.float32)
     q3 = qkv.reshape(group, s_pad, 3 * e)  # row-major view, free
+    if _PAIR_HEADS and n_heads % 2 == 0:
+        return _paired_attention(
+            q3, bias, n_heads, head_dim, scale, group, s_pad, precision
+        )
     ctx = []
     for h in range(n_heads):
         q = q3[:, :, h * head_dim : (h + 1) * head_dim]
@@ -96,6 +105,67 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
                 p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32, precision=precision,
             )
+        )
+    return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
+
+
+def _paired_attention(q3, bias, n_heads, head_dim, scale, group, s_pad,
+                      precision=None):
+    """Two heads per MXU pass via zero-masked key/value stacking — exact.
+
+    For a head pair (lo, hi) occupying one 128-lane slice of the packed
+    qkv, build K2/V2 [G, 2S, 2D] where rows 0..S carry head-lo's keys in
+    lanes 0..D (zeros elsewhere) and rows S..2S carry head-hi's keys in
+    lanes D..2D. Then
+
+      scores2 = Q_pair @ K2^T   -> [G, S, 2S] = [lo scores | hi scores]
+      ctx2    = P2 @ V2         -> [G, S, 2D] = [ctx_lo | ctx_hi]
+
+    because the zero lanes kill all cross-head terms. The contraction runs
+    at full 128-lane MXU width (vs 64 per-head) and halves the number of
+    dot_generals; softmax normalizes each S-wide half separately via
+    masked reductions. Head-pair stacking via scratch staging regressed
+    (PERF.md r1) — this variant needs no staging copies, only cheap lane
+    masks that fuse with the loads."""
+    e = n_heads * head_dim
+    d2 = 2 * head_dim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d2), 2)
+    lo_mask = lane < head_dim  # [1, 1, 2D]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * s_pad), 1)
+    is_lo_col = col < s_pad  # [1, 2S] (score columns 0..S = head-lo keys)
+    bias2 = jnp.concatenate([bias, bias], axis=-1)[None]  # [1, S, 2S]
+
+    ctx = []
+    for p_idx in range(n_heads // 2):
+        o = p_idx * d2
+        qp = q3[:, :, o : o + d2]
+        kp = q3[:, :, e + o : e + o + d2]
+        vp = q3[:, :, 2 * e + o : 2 * e + o + d2]
+        zero = jnp.zeros_like(kp)
+        k2 = jnp.concatenate(
+            [jnp.where(lo_mask, kp, zero), jnp.where(lo_mask, zero, kp)], axis=1
+        )  # [G, 2S, 2D]
+        v2 = jnp.concatenate(
+            [jnp.where(lo_mask, vp, zero), jnp.where(lo_mask, zero, vp)], axis=1
+        )
+        scores = jax.lax.dot_general(
+            qp, k2, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale + bias2  # [G, S, 2S]
+        # per-half softmax via masked reductions (halves stay independent)
+        neg = jnp.float32(_NEG_INF)
+        m_lo = jnp.max(jnp.where(is_lo_col[:, None], scores, neg), -1, keepdims=True)
+        m_hi = jnp.max(jnp.where(is_lo_col[:, None], neg, scores), -1, keepdims=True)
+        m = jnp.where(is_lo_col[:, None], m_lo, m_hi)
+        p = jnp.exp(scores - m)
+        s_lo = jnp.sum(jnp.where(is_lo_col[:, None], p, 0.0), -1, keepdims=True)
+        s_hi = jnp.sum(jnp.where(is_lo_col[:, None], 0.0, p), -1, keepdims=True)
+        p = p / jnp.where(is_lo_col[:, None], s_lo, s_hi)
+        ctx.append(
+            jax.lax.dot_general(
+                p.astype(v2.dtype), v2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [G, S, 2D] = [ctx_lo | ctx_hi]
         )
     return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
 
@@ -145,17 +215,21 @@ def _attn_half_int8_kernel(
     gs = group * s_pad
 
     rows = x_ref[...].reshape(gs, e)
-    h_ln = _ln_rows(rows, ln_s_ref[...], ln_b_ref[...])
-    x_q, x_sc = _quant_rows(h_ln)
-    qkv = _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref).astype(
-        jnp.bfloat16
-    )
-
-    ctx = _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad)
-
-    c_q, c_sc = _quant_rows(ctx)
-    proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
-    out = rows.astype(jnp.float32) + proj
+    n_sub = _SUBTILES if group % _SUBTILES == 0 else 1
+    g_sub, m = group // n_sub, gs // n_sub
+    outs = []
+    for j in range(n_sub):  # independent chains -> scheduler can overlap
+        r = rows[j * m : (j + 1) * m]
+        h_ln = _ln_rows(r, ln_s_ref[...], ln_b_ref[...])
+        x_q, x_sc = _quant_rows(h_ln)
+        qkv = _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref).astype(
+            jnp.bfloat16
+        )
+        ctx = _batched_attention(qkv, bias, n_heads, head_dim, scale, g_sub, s_pad)
+        c_q, c_sc = _quant_rows(ctx)
+        proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
+        outs.append(r.astype(jnp.float32) + proj)
+    out = outs[0] if n_sub == 1 else jnp.concatenate(outs, axis=0)
     out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
 
 
@@ -167,13 +241,19 @@ def _mlp_half_int8_kernel(
     e = x_ref.shape[-1]
     gs = group * s_pad
     rows = x_ref[...].reshape(gs, e)
-    h_ln = _ln_rows(rows, ln_s_ref[...], ln_b_ref[...])
-    x_q, x_sc = _quant_rows(h_ln)
-    hidden = _int8_gemm(x_q, x_sc, wfc_i8_ref, wfc_sc_ref, bfc_ref)
-    hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU in f32
-    h_q, h_sc = _quant_rows(hidden)
-    proj = _int8_gemm(h_q, h_sc, wproj_i8_ref, wproj_sc_ref, bproj_ref)
-    out = rows.astype(jnp.float32) + proj
+    n_sub = _SUBTILES if gs % _SUBTILES == 0 else 1
+    m = gs // n_sub
+    outs = []
+    for j in range(n_sub):  # independent chains -> scheduler can overlap
+        r = rows[j * m : (j + 1) * m]
+        h_ln = _ln_rows(r, ln_s_ref[...], ln_b_ref[...])
+        x_q, x_sc = _quant_rows(h_ln)
+        hidden = _int8_gemm(x_q, x_sc, wfc_i8_ref, wfc_sc_ref, bfc_ref)
+        hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU in f32
+        h_q, h_sc = _quant_rows(hidden)
+        proj = _int8_gemm(h_q, h_sc, wproj_i8_ref, wproj_sc_ref, bproj_ref)
+        outs.append(r.astype(jnp.float32) + proj)
+    out = outs[0] if n_sub == 1 else jnp.concatenate(outs, axis=0)
     out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
 
 
@@ -303,6 +383,19 @@ def _pick_group(b: int, target: int = 8) -> int:
 _VMEM_LIMIT = 100 * 1024 * 1024
 _GROUP_TARGET = 8
 _FUSE = "halves"  # "halves": attn + mlp kernels; "block": one kernel/layer
+_ATTN_STUB = False  # debug: bypass attention math (perf attribution only)
+# Split each tile into independent row-block chains: with >1 chains the
+# Mosaic scheduler can overlap one chain's VPU epilogue (rescale / GELU /
+# requant) with the other's MXU GEMMs — the int8 tower's gap to the GEMM
+# roofline is exactly that serial VPU tail (PERF.md).
+_SUBTILES = 2
+# Two heads per MXU pass (zero-masked K/V stacking, exact): full 128-lane
+# contraction and half the dot_general count vs the per-head loop.
+_PAIR_HEADS = True
+# Sequence padding multiple. 8 is the f32 sublane tile; 16 aligns per-crop
+# row blocks to the bf16 sublane tile (S=50 -> 64), trading ~14% more GEMM
+# rows for relayout-free [G, S, D] views inside the attention section.
+_S_ALIGN = 8
 
 
 def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
@@ -321,6 +414,10 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
         grid=(b // group,),
         out_specs=tile,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, e), x.dtype),
+        # f32 halves (cert/reference runs) exceed the 16MB scoped-vmem
+        # default (c_fc+c_proj f32 ~19MB); raise the cap like the
+        # whole-block variant does
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
 
@@ -412,9 +509,13 @@ def fused_block(
     quant_layer: "dict | None" = None,  # int8 weights for this layer
     interpret: bool = False,
 ) -> jax.Array:
-    """One full transformer block via a single whole-block kernel: the
-    residual stream stays in VMEM across both halves (no inter-half HBM
-    round trip), weights for the whole layer are VMEM-resident."""
+    """One full transformer block through the fused kernels.
+
+    Default is the two-kernel halves variant (attention half / MLP half) —
+    measured faster than the single whole-block kernel on v5e (45.0 vs
+    47.5 ms for the 12-layer int8 tower at 1024 crops; the whole-block
+    program's VMEM pressure costs more than the inter-half HBM round trip
+    saves). ``_FUSE = "block"`` selects the whole-block kernel."""
     if _FUSE == "halves":
         return _halves_block(x, params, n_heads, bias, quant_layer, interpret)
 
@@ -515,7 +616,7 @@ def run_fused_tower(
     and slices back at the end.
     """
     b, s, e = x.shape
-    s_pad = ((s + 7) // 8) * 8
+    s_pad = ((s + _S_ALIGN - 1) // _S_ALIGN) * _S_ALIGN
     if s_pad != s:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
 

@@ -46,6 +46,7 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
         impl=cfg.runtime.attention_impl,
         n_views=cfg.tta.n_views,
         crop_scale=cfg.tta.crop_scale,
+        quant=cfg.runtime.quant,
     )
 
     base_path = os.path.join(cfg.data.root, "TestSetB_1.txt")
@@ -69,7 +70,12 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
         if cfg.tta.device_crops:
             # throughput path (--perf): the host ships ONE square source
             # image per input (native C++ decode when available); crop
-            # views are sampled on-chip (PERF.md)
+            # views are sampled on-chip (PERF.md). Host decode is
+            # double-buffered against device compute: chunk N+1 decodes in
+            # the native thread pool while chunk N runs on-chip (the JAX
+            # dispatch is async; only the final np.asarray blocks).
+            from concurrent.futures import ThreadPoolExecutor
+
             import jax
 
             from jcf_tpu.native import decode_batch
@@ -78,19 +84,27 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
             bsz = cfg.tta.batch_images
             src = max(cfg.tta.resize_to * mcfg.image_resolution // 224,
                       mcfg.image_resolution)
-            for start in range(0, len(data), bsz):
-                chunk = data[start : start + bsz]
-                impaths = [d.impath for d in chunk]
-                with timer.phase("decode"):
-                    images = decode_batch(impaths, resize_to=src, out_size=src)
-                with timer.phase("tta_batch"):
-                    key, sub = jax.random.split(key)
-                    modes = engine.features_from_images(
-                        jnp.asarray(images), text_weights, sub
-                    )
-                    logits = engine.logits(modes, text_weights)
-                    preds = np.asarray(jnp.argmax(logits, axis=-1))
-                write_preds(impaths, preds)
+            chunks = [data[s : s + bsz] for s in range(0, len(data), bsz)]
+
+            def decode(chunk):
+                paths = [d.impath for d in chunk]
+                return paths, decode_batch(paths, resize_to=src, out_size=src)
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(decode, chunks[0]) if chunks else None
+                for i in range(len(chunks)):
+                    with timer.phase("decode_wait"):
+                        impaths, images = fut.result()
+                    if i + 1 < len(chunks):
+                        fut = pool.submit(decode, chunks[i + 1])
+                    with timer.phase("tta_batch"):
+                        key, sub = jax.random.split(key)
+                        modes = engine.features_from_images(
+                            jnp.asarray(images), text_weights, sub
+                        )
+                        logits = engine.logits(modes, text_weights)
+                        preds = np.asarray(jnp.argmax(logits, axis=-1))
+                    write_preds(impaths, preds)
         else:
             # parity path: seeded host PIL crops (reference crop semantics)
             loader = tta_loader(cfg, data, mcfg, normalize=True)

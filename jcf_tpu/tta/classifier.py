@@ -30,15 +30,21 @@ def encode_class_templates(
     batch_size: int = 512,
     dtype=jnp.float32,
     impl: Optional[str] = None,
+    quant: Optional[dict] = None,
 ) -> jax.Array:
-    """Encode [C, T, 77] template token ids -> [C, D] classifier weights."""
+    """Encode [C, T, 77] template token ids -> [C, D] classifier weights.
+
+    quant: optional int8 W8A8 weights for the text tower
+    (``quantize_clip_params(params)["text"]`` — same scheme the vision
+    tower serves with; classifier building is offline so int8 here is a
+    memory/latency option, certified by tests/test_quant.py)."""
     c, t, ctx = token_ids.shape
     flat = token_ids.reshape(c * t, ctx)
 
     chunks = []
     encode = jax.jit(
         lambda ids: l2_normalize(
-            encode_text(params, cfg, ids, dtype=dtype, impl=impl)
+            encode_text(params, cfg, ids, dtype=dtype, impl=impl, quant=quant)
         )
     )
     for start in range(0, c * t, batch_size):
@@ -68,15 +74,18 @@ def build_classifier_weights(
     counts = {len(v) for v in items}
     if len(counts) == 1:
         t = counts.pop()
-        ids = np.stack([tokenize(v, truncate=True) for v in items])  # [C, T, 77]
+        ids = np.stack(
+            [tokenize(v, context_length=cfg.context_length, truncate=True) for v in items]
+        )  # [C, T, ctx]
         return encode_class_templates(params, cfg, jnp.asarray(ids), **kwargs)
 
     # ragged fallback: exact math, one batched encode over all sentences
     flat: List[str] = [s for v in items for s in v]
-    ids = jnp.asarray(tokenize(flat, truncate=True))
+    ids = jnp.asarray(tokenize(flat, context_length=cfg.context_length, truncate=True))
     dtype = kwargs.get("dtype", jnp.float32)
     impl = kwargs.get("impl")
-    emb = l2_normalize(encode_text(params, cfg, ids, dtype=dtype, impl=impl))
+    emb = l2_normalize(encode_text(params, cfg, ids, dtype=dtype, impl=impl,
+                                   quant=kwargs.get("quant")))
     weights = []
     offset = 0
     for v in items:

@@ -45,3 +45,21 @@ def test_quantized_tower_tracks_float():
     qt = np.asarray(encode_text(params, CFG, jnp.asarray(ids), impl="xla", quant=quant["text"]))
     cos_t = (ft * qt).sum(-1) / (np.linalg.norm(ft, axis=-1) * np.linalg.norm(qt, axis=-1))
     assert (cos_t > 0.98).all(), cos_t
+
+
+def test_int8_text_classifier_tracks_float():
+    """Quantized text tower through the classifier builder: int8 W8A8
+    class weights stay rankings-equivalent to the f32 path (VERDICT r1
+    #10 — the text tower ships with the same certificate scheme as
+    vision)."""
+    from jcf_tpu.tta.classifier import build_classifier_weights
+
+    params = init_clip_params(5, CFG)
+    qp = quantize_clip_params(params)["text"]
+    templates = {i: [f"a photo of a thing {i}", f"art of {i}"] for i in range(6)}
+    w_f = np.asarray(build_classifier_weights(params, CFG, templates, impl="xla"))
+    w_q = np.asarray(
+        build_classifier_weights(params, CFG, templates, impl="xla", quant=qp)
+    )
+    cos = np.sum(w_f * w_q, axis=-1)  # rows are L2-normalized
+    assert cos.min() > 0.99, cos
