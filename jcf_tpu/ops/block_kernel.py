@@ -381,7 +381,7 @@ def _pick_group(b: int, target: int = 8) -> int:
 # the residual tile + f32 intermediates — raise the cap so Mosaic can keep
 # everything resident AND double-buffer the activation tiles.
 _VMEM_LIMIT = 100 * 1024 * 1024
-_GROUP_TARGET = 8
+_GROUP_TARGET = 16
 _FUSE = "halves"  # "halves": attn + mlp kernels; "block": one kernel/layer
 _ATTN_STUB = False  # debug: bypass attention math (perf attribution only)
 # Split each tile into independent row-block chains: with >1 chains the

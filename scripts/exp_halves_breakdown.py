@@ -23,6 +23,7 @@ def main():
     bk._SUBTILES = int(os.environ.get("JCF_SUBTILES", "1"))
     bk._PAIR_HEADS = os.environ.get("JCF_PAIR", "1") == "1"
     bk._S_ALIGN = int(os.environ.get("JCF_SALIGN", "8"))
+    bk._GROUP_TARGET = int(os.environ.get("JCF_GROUP", "8"))
 
     from jcf_tpu.models import VIT_B_32, init_clip_params
     from jcf_tpu.ops.quant import quantize_clip_params
@@ -49,7 +50,8 @@ def main():
     t = (time.perf_counter() - t0) / 20 * 1e3
     print(f"fuse={bk._FUSE} quant={quant} stub={bk._ATTN_STUB} "
           f"subtiles={bk._SUBTILES} pair={bk._PAIR_HEADS} "
-          f"salign={bk._S_ALIGN}: tower {t:.2f} ms", flush=True)
+          f"salign={bk._S_ALIGN} group={bk._GROUP_TARGET}: tower {t:.2f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":
