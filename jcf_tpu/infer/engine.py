@@ -31,6 +31,7 @@ from jcf_tpu.models.clip import (
     fold_normalize_into_embed,
 )
 from jcf_tpu.ops.layers import l2_normalize
+from jcf_tpu.ops.view_kernel import fused_views_nchw, sample_view_centers
 from jcf_tpu.tta.mta import MTAParams, solve_mta
 from jcf_tpu.tta import solve_mta_batch
 
@@ -228,6 +229,7 @@ class TTAEngine:
         normalize_views: bool = True,
         mta_params: MTAParams = MTAParams(),
         quant: Optional[str] = None,  # "int8" -> W8A8 tower matmuls
+        fused_views: bool = True,  # Pallas view+patchify kernel
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -255,6 +257,7 @@ class TTAEngine:
         std = jnp.asarray(CLIP_STD, jnp.float32).reshape(3, 1, 1)
 
         quant_visual = self._quant_visual
+        use_fused_views = fused_views
 
         def _encode_cloud(params, crops):  # [B, N, 3, s, s] -> [B, N, D]
             b, n = crops.shape[:2]
@@ -287,12 +290,34 @@ class TTAEngine:
         @jax.jit
         def features_from_images(params, images, text_weights, key):
             images = images.astype(dtype)
-            views = device_tta_views_nhcw(
-                images, key, n_views, cfg.image_resolution, crop_scale
-            )  # [B, N+1, o, C, q] — center view first
-            b, n = views.shape[:2]
-            flat = views.reshape((b * n,) + views.shape[2:])
-            tokens = embed_views_nhcw(flat, w4, fold_bias)
+            b = images.shape[0]
+            n = n_views + 1
+            if use_fused_views:
+                # one Pallas program per image: interpolation weights,
+                # both resample GEMMs and the flip stay in VMEM — removes
+                # the wy/wx/t/rev HBM materializations of the XLA view
+                # pipeline (scripts/trace_bench.py; ops/view_kernel.py)
+                cy, cx, inv = sample_view_centers(
+                    key, b, n, images.shape[2:], cfg.image_resolution, crop_scale
+                )
+                views = fused_views_nchw(
+                    images, cy, cx, inv, cfg.image_resolution,
+                    cfg.vision_patch_size,
+                    interpret=jax.default_backend() != "tpu",
+                )  # [B, N, C, o, q]
+                p = cfg.vision_patch_size
+                g = cfg.image_resolution // p
+                x6 = views.reshape(b * n, 3, g, p, g, p)
+                tokens = jax.lax.dot_general(
+                    x6, w4, (((1, 3, 5), (0, 1, 2)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(b * n, g * g, -1) + fold_bias
+            else:
+                views = device_tta_views_nhcw(
+                    images, key, n_views, cfg.image_resolution, crop_scale
+                )  # [B, N+1, o, C, q] — center view first
+                flat = views.reshape((b * n,) + views.shape[2:])
+                tokens = embed_views_nhcw(flat, w4, fold_bias)
             feats = encode_image_tokens(
                 params, cfg, tokens, dtype=dtype, impl=impl, quant=quant_visual
             )

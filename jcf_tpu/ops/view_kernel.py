@@ -1,0 +1,175 @@
+"""Fused TTA view sampling + patchify as one Pallas kernel.
+
+The XLA pipeline for device-side crops (PERF.md, infer/engine.py)
+materializes every intermediate in HBM: the interpolation matrices, the
+row-resampled tensor, the flipped column matrices (a full `rev`), the
+views, and a relayout copy before the patch embed — the bench trace shows
+~9 ms/iter of pure layout traffic at 128x8 views (scripts/trace_bench.py:
+copy 2.9 + reshape 2.8 + rev 1.1 + view fusions ~3).
+
+This kernel keeps the whole view stage in VMEM, one image per program:
+
+  x2 [256, C*W]  (source image, H-major)          ~0.4 MB
+  per view v:
+    wy  = triangle(centers_y[v])   [224, 256]     built in-kernel
+    t   = wy @ x2                  [224, C*W]     row resample (MXU)
+    wxT = triangle(centers_x[v])   [256, 224]     built TRANSPOSED
+    out = t' @ wxT                 [(o,c)=672, 224]  col resample (MXU)
+    per gw: write [gh=7, (ph,c,pw)=3072] patch rows
+
+Output [B, V, 7, 7, 3072] is directly GEMM-ready against the patch-embed
+weight permuted to (ph, c, pw, E) — no transposes anywhere. Horizontal
+flips are folded into the column centers (mirror), so no `rev` pass.
+
+Exactness: identical math to engine.device_tta_views_nhcw + patchify
+(same triangle kernel, same normalization); verified in
+tests/test_view_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _triangle_rows(centers, inv_support, n_src, n_out, transposed):
+    """Normalized triangle-filter interpolation weights.
+
+    transposed=False: [n_out, n_src] (rows = output coords)
+    transposed=True:  [n_src, n_out] (built directly; no relayout)
+    """
+    # Mosaic's tpu.iota is integer-only; build int32 and convert
+    if transposed:
+        i = jax.lax.broadcasted_iota(jnp.int32, (n_src, n_out), 0).astype(jnp.float32)
+        c = centers[None, :]
+        axis = 0
+    else:
+        i = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_src), 1).astype(jnp.float32)
+        c = centers[:, None]
+        axis = 1
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(c - i) * inv_support)
+    denom = jnp.maximum(jnp.sum(w, axis=axis, keepdims=True), 1e-8)
+    return w * (1.0 / denom)
+
+
+def _view_kernel(
+    x2_ref,      # [1, H, C*W] bf16 source image, H-major
+    cy_ref,      # [1, V, out] f32 row centers
+    cx_ref,      # [1, V, out] f32 col centers (flip already folded)
+    inv_ref,     # [1, V, 2] f32 inverse supports (y, x)
+    out_ref,     # [1, V, C, out, out] bf16 views, NCHW
+    *, n_views, out_size, patch, channels, h_src, w_src,
+):
+    # Mosaic rejects sublane<->lane shape casts and strided middle-dim
+    # stores, so the patch regroup stays outside; in-kernel everything is
+    # 2D GEMMs + aligned slices: per channel, t_c = wy @ X_c (row
+    # resample), view_c = t_c @ wxT_c (col resample, weights built
+    # transposed — no relayout), stored as trailing-2D NCHW slots.
+    x2 = x2_ref[0]  # [H, C*W]
+    for v in range(n_views):
+        inv_y = inv_ref[0, v, 0]
+        inv_x = inv_ref[0, v, 1]
+        wy = _triangle_rows(cy_ref[0, v], inv_y, h_src, out_size, False)
+        wxt = _triangle_rows(cx_ref[0, v], inv_x, w_src, out_size, True)
+        wy = wy.astype(x2.dtype)
+        wxt = wxt.astype(x2.dtype)
+        for c in range(channels):
+            xc = x2[:, c * w_src : (c + 1) * w_src]  # [H, W] lane-aligned
+            t = jax.lax.dot_general(
+                wy, xc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x2.dtype)  # [out, W]
+            view = jax.lax.dot_general(
+                t, wxt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [out, out]
+            out_ref[0, v, c] = view.astype(out_ref.dtype)
+
+
+def sample_view_centers(
+    key: jax.Array,
+    batch: int,
+    n_views: int,
+    src_hw: Tuple[int, int],
+    out_size: int,
+    scale: Tuple[float, float] = (0.5, 1.0),
+):
+    """Boxes -> per-view output-pixel centers + inverse supports, with the
+    center crop as view 0 and horizontal flips folded into mirrored column
+    centers. Same box distribution as engine.sample_crop_boxes."""
+    from jcf_tpu.infer.engine import sample_crop_boxes
+
+    h_src, w_src = src_hw
+    keys = jax.random.split(key, batch)
+    boxes, flips = jax.vmap(
+        lambda k: sample_crop_boxes(k, n_views - 1, (h_src, w_src), scale)
+    )(keys)  # [B, V-1, 4], [B, V-1]
+    center = jnp.array(
+        [(h_src - out_size) // 2, (w_src - out_size) // 2, out_size, out_size],
+        jnp.float32,
+    )
+    boxes = jnp.concatenate(
+        [jnp.broadcast_to(center, (batch, 1, 4)), boxes], axis=1
+    )
+    flips = jnp.concatenate([jnp.zeros((batch, 1), bool), flips], axis=1)
+
+    top, left = boxes[..., 0], boxes[..., 1]
+    hh, ww = boxes[..., 2], boxes[..., 3]
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    cy = top[..., None] + (o + 0.5) * (hh / out_size)[..., None] - 0.5
+    cx = left[..., None] + (o + 0.5) * (ww / out_size)[..., None] - 0.5
+    # horizontal flip = reversed output-column order (the engine reverses
+    # wx's output rows, engine.device_tta_views_nhcw) — fold into centers
+    cx = jnp.where(flips[..., None], cx[..., ::-1], cx)
+    inv = jnp.stack(
+        [1.0 / jnp.maximum(hh / out_size, 1.0), 1.0 / jnp.maximum(ww / out_size, 1.0)],
+        axis=-1,
+    )  # [B, V, 2]
+    return cy, cx, inv
+
+
+def fused_views_nchw(
+    images: jax.Array,  # [B, C, H, W] source images
+    cy: jax.Array,      # [B, V, out]
+    cx: jax.Array,      # [B, V, out]
+    inv: jax.Array,     # [B, V, 2]
+    out_size: int,
+    patch: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, V, C, out, out] NCHW TTA views, value-identical to
+    ``device_tta_views_nhcw`` (transposed) for the same boxes;
+    interpolation weights, both resample GEMMs and the flip all stay in
+    VMEM (one image per program) instead of materializing wy/wx/t/rev in
+    HBM."""
+    b, c, h, w = images.shape
+    n_views = cy.shape[1]
+    x2 = images.transpose(0, 2, 1, 3).reshape(b, h, c * w)  # H-major
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _view_kernel, n_views=n_views, out_size=out_size,
+            patch=patch, channels=c, h_src=h, w_src=w,
+        ),
+        grid=(b,),
+        in_specs=[
+            vmem((1, h, c * w), lambda i: (i, 0, 0)),
+            vmem((1, n_views, out_size), lambda i: (i, 0, 0)),
+            vmem((1, n_views, out_size), lambda i: (i, 0, 0)),
+            vmem((1, n_views, 2), lambda i: (i, 0, 0)),
+        ],
+        out_specs=vmem(
+            (1, n_views, c, out_size, out_size), lambda i: (i, 0, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_views, c, out_size, out_size), images.dtype
+        ),
+        interpret=interpret,
+    )(x2, cy, cx, inv)

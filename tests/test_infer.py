@@ -120,6 +120,17 @@ def test_engine_device_crop_path_runs():
     assert modes.shape == (2, 48)
     assert np.isfinite(np.asarray(modes)).all()
 
+    # fused Pallas view kernel vs composable XLA view pipeline: same key,
+    # same crops, matching MTA modes
+    engine_x = TTAEngine(
+        params, TINY, impl="xla", n_views=4, normalize_views=False,
+        fused_views=False,
+    )
+    modes_x = engine_x.features_from_images(images, text, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(modes), np.asarray(modes_x), atol=1e-4, rtol=1e-4
+    )
+
 
 def test_ensemble_formulas():
     d, c = 8, 5
