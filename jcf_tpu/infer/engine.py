@@ -307,6 +307,9 @@ class TTAEngine:
                 )  # [B, N, C, o, q]
                 p = cfg.vision_patch_size
                 g = cfg.image_resolution // p
+                # patchify+embed as one 6D dot_general off NCHW (the
+                # stride-p conv form compiles pathologically slowly
+                # through the remote helper)
                 x6 = views.reshape(b * n, 3, g, p, g, p)
                 tokens = jax.lax.dot_general(
                     x6, w4, (((1, 3, 5), (0, 1, 2)), ((), ())),

@@ -58,7 +58,7 @@ def _triangle_rows(centers, inv_support, n_src, n_out, transposed):
 
 
 def _view_kernel(
-    x2_ref,      # [1, H, C*W] bf16 source image, H-major
+    x_ref,       # [1, C, H, W] bf16 source image, NCHW
     cy_ref,      # [1, V, out] f32 row centers
     cx_ref,      # [1, V, out] f32 col centers (flip already folded)
     inv_ref,     # [1, V, 2] f32 inverse supports (y, x)
@@ -67,23 +67,22 @@ def _view_kernel(
 ):
     # Mosaic rejects sublane<->lane shape casts and strided middle-dim
     # stores, so the patch regroup stays outside; in-kernel everything is
-    # 2D GEMMs + aligned slices: per channel, t_c = wy @ X_c (row
-    # resample), view_c = t_c @ wxT_c (col resample, weights built
+    # 2D GEMMs + trailing-2D loads/stores: per channel, t_c = wy @ X_c
+    # (row resample), view_c = t_c @ wxT_c (col resample, weights built
     # transposed — no relayout), stored as trailing-2D NCHW slots.
-    x2 = x2_ref[0]  # [H, C*W]
     for v in range(n_views):
         inv_y = inv_ref[0, v, 0]
         inv_x = inv_ref[0, v, 1]
         wy = _triangle_rows(cy_ref[0, v], inv_y, h_src, out_size, False)
         wxt = _triangle_rows(cx_ref[0, v], inv_x, w_src, out_size, True)
-        wy = wy.astype(x2.dtype)
-        wxt = wxt.astype(x2.dtype)
+        wy = wy.astype(x_ref.dtype)
+        wxt = wxt.astype(x_ref.dtype)
         for c in range(channels):
-            xc = x2[:, c * w_src : (c + 1) * w_src]  # [H, W] lane-aligned
+            xc = x_ref[0, c]  # [H, W]
             t = jax.lax.dot_general(
                 wy, xc, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(x2.dtype)  # [out, W]
+            ).astype(x_ref.dtype)  # [out, W]
             view = jax.lax.dot_general(
                 t, wxt, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -150,7 +149,6 @@ def fused_views_nchw(
     HBM."""
     b, c, h, w = images.shape
     n_views = cy.shape[1]
-    x2 = images.transpose(0, 2, 1, 3).reshape(b, h, c * w)  # H-major
 
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -160,7 +158,7 @@ def fused_views_nchw(
         ),
         grid=(b,),
         in_specs=[
-            vmem((1, h, c * w), lambda i: (i, 0, 0)),
+            vmem((1, c, h, w), lambda i: (i, 0, 0, 0)),
             vmem((1, n_views, out_size), lambda i: (i, 0, 0)),
             vmem((1, n_views, out_size), lambda i: (i, 0, 0)),
             vmem((1, n_views, 2), lambda i: (i, 0, 0)),
@@ -172,4 +170,4 @@ def fused_views_nchw(
             (b, n_views, c, out_size, out_size), images.dtype
         ),
         interpret=interpret,
-    )(x2, cy, cx, inv)
+    )(images, cy, cx, inv)
