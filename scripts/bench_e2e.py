@@ -15,6 +15,8 @@ Env: JCF_E2E_IMAGES (default 2048), JCF_E2E_SIZE (default 500 px)
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 import numpy as np
 
 
@@ -42,9 +44,21 @@ def main() -> None:
     root = ensure_corpus(n, size)
 
     import dataclasses
+    import pickle
 
     from jcf_tpu.config import perf_preset
     from jcf_tpu.pipelines.ood import run_ood_split
+
+    # synthetic full-size ViT-B/32 checkpoint (the real OpenAI asset is
+    # unavailable in this zero-egress environment; throughput is
+    # weight-agnostic)
+    ckpt = os.path.join(root, "synth_vit_b32.pkl")
+    if not os.path.exists(ckpt):
+        from jcf_tpu.models import VIT_B_32, init_clip_params
+        from jcf_tpu.models.loader import state_dict_from_params
+
+        with open(ckpt, "wb") as f:
+            pickle.dump(state_dict_from_params(init_clip_params(0, VIT_B_32), VIT_B_32), f)
 
     cfg = perf_preset()
     cfg = dataclasses.replace(
@@ -57,6 +71,7 @@ def main() -> None:
             template_dir=os.path.join(root, "text_template"),
             captions_file=os.path.join(root, "missing.txt"),
         ),
+        runtime=dataclasses.replace(cfg.runtime, clip_checkpoint=ckpt),
     )
     # synthetic class list (403 classes, reference format)
     if not os.path.exists(cfg.data.classes_file):
