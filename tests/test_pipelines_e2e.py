@@ -280,3 +280,18 @@ def test_ood_device_crops_path(workspace):
     lines = open(out["base_path"]).read().splitlines() + open(out["new_path"]).read().splitlines()
     assert len(lines) == 4
     assert all(l.endswith(".jpg") for l in lines)
+
+
+def test_ood_perf_int8_path(workspace):
+    """The full perf serving config (device crops + int8 W8A8 towers, as
+    the perf preset ships) runs end-to-end with the same file contract."""
+    root, cfg = workspace
+    cfg_perf = dataclasses.replace(
+        cfg,
+        tta=dataclasses.replace(cfg.tta, device_crops=True, batch_images=2),
+        runtime=dataclasses.replace(cfg.runtime, quant="int8"),
+    )
+    from jcf_tpu.pipelines import run_ood_split
+
+    out = run_ood_split(cfg_perf)
+    assert out["n_base"] + out["n_new"] == 4
