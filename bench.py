@@ -173,7 +173,7 @@ def main() -> None:
     # clock (cold compiles; the cert engine would add its own multi-minute
     # compile and risk losing the JSON to an outer timeout) — warm-cache
     # runs finish the throughput phase in ~60-90 s and the cert proceeds
-    cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "240"))
+    cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "360"))
     t_start = time.perf_counter()
 
     from jcf_tpu.infer import TTAEngine
