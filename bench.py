@@ -10,7 +10,7 @@ staged on device once; each timed iteration uses a fresh RNG key so crops
 differ.
 
 Besides throughput, the run attaches a CORRECTNESS CERTIFICATE to the
-benched config (VERDICT r1 #3/#7):
+benched config (VERDICT r1 #3/#7, r2 #2):
   - int8-vs-f32 ranking agreement through the SAME TTA pipeline on the
     same device-sampled crops (top-1 agreement, top-5 overlap) — the perf
     number provably belongs to a rankings-equivalent model;
@@ -19,15 +19,30 @@ benched config (VERDICT r1 #3/#7):
     allclose against the XLA composable path on the real chip, so Mosaic
     regressions fail the bench run, not a later serving run.
 
+The cert runs BEFORE the timed loop; its fields can never be dropped by a
+slow throughput phase. If cold compiles have already burned the wall-clock
+deadline, the last GREEN cert for the identical kernel sources + config
+(persisted in .jax_cache/cert_state.json after every live green run) is
+attached with ``cert_source: "persisted"``; a cert is only ever reported
+for kernel code that actually passed it.
+
+Caveat (ADVICE r2): the cert runs on randomly initialized weights, so it
+bounds int8-vs-f32 ranking drift for this architecture, not outlier
+behavior of a specific trained checkpoint; rerun against real weights when
+available (the ``cert_weights`` field records which was used).
+
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...cert}
 
 Env knobs: JCF_BENCH_BATCH, JCF_BENCH_VIEWS, JCF_BENCH_ITERS,
-JCF_BENCH_QUANT=int8|none, JCF_BENCH_CERT=1|0, JCF_BENCH_SMOKE=1|0.
+JCF_BENCH_QUANT=int8|none, JCF_BENCH_CERT=1|0, JCF_BENCH_SMOKE=1|0,
+JCF_BENCH_CERT_DEADLINE (s), JCF_BENCH_STRICT=1 (exit nonzero on cert
+infrastructure failures, not just assertion failures).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -38,9 +53,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+
 # persistent compilation cache: compiles through the axon tunnel can take
 # minutes; repeat bench runs (and the driver's end-of-round run) reuse them
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
 try:
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
@@ -49,9 +66,55 @@ try:
 except Exception:
     pass
 
+_CERT_STATE_PATH = os.path.join(
+    os.environ["JAX_COMPILATION_CACHE_DIR"], "cert_state.json"
+)
+
+# sources whose bytes determine the compiled serving programs: a persisted
+# cert is only valid while none of these changed
+_KERNEL_SOURCES = (
+    "jcf_tpu/ops/attention.py",
+    "jcf_tpu/ops/block_kernel.py",
+    "jcf_tpu/ops/view_kernel.py",
+    "jcf_tpu/ops/quant.py",
+    "jcf_tpu/ops/layers.py",
+    "jcf_tpu/ops/stats.py",
+    "jcf_tpu/models/clip.py",
+    "jcf_tpu/infer/engine.py",
+    "jcf_tpu/tta/mta.py",
+)
+
 
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _kernel_hash(config_tag: str) -> str:
+    h = hashlib.sha256()
+    for rel in _KERNEL_SOURCES:
+        p = os.path.join(_ROOT, rel)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    h.update(config_tag.encode())
+    return h.hexdigest()[:16]
+
+
+def _load_cert_state() -> dict:
+    try:
+        with open(_CERT_STATE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_cert_state(state: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_CERT_STATE_PATH), exist_ok=True)
+        with open(_CERT_STATE_PATH, "w") as f:
+            json.dump(state, f, indent=1)
+    except Exception as exc:
+        _log(f"cert state persist failed (non-fatal): {exc}")
 
 
 def _ranking_certificate(engine_q, params, cfg, images, text, key) -> dict:
@@ -93,6 +156,7 @@ def _ranking_certificate(engine_q, params, cfg, images, text, key) -> dict:
         "int8_top1_agree": round(top1_agree, 4),
         "int8_top5_overlap": round(overlap, 4),
         "int8_mode_cos": round(cos, 6),
+        "cert_weights": "random-init",
     }
 
 
@@ -166,15 +230,18 @@ def main() -> None:
     quant = os.environ.get("JCF_BENCH_QUANT", "int8")
     quant = None if quant in ("", "none", "bf16") else quant
     run_cert = os.environ.get("JCF_BENCH_CERT", "1") == "1" and quant is not None
-    # smoke compiles several extra kernel variants (~1 slow compile each
-    # through the tunnel) — opt-in to keep the driver bench run bounded
-    run_smoke = os.environ.get("JCF_BENCH_SMOKE", "0") == "1"
-    # skip the cert if the throughput phase already burned this much wall
-    # clock (cold compiles; the cert engine would add its own multi-minute
-    # compile and risk losing the JSON to an outer timeout) — warm-cache
-    # runs finish the throughput phase in ~60-90 s and the cert proceeds
+    run_smoke = os.environ.get("JCF_BENCH_SMOKE", "1") == "1"
+    strict = os.environ.get("JCF_BENCH_STRICT", "0") == "1"
+    # wall-clock guard: cold compiles through the tunnel can take minutes
+    # per program; once this much time has gone by, remaining cert/smoke
+    # phases fall back to the persisted green record instead of risking the
+    # JSON line to an outer timeout. Warm-cache runs never hit this.
     cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "360"))
     t_start = time.perf_counter()
+
+    config_tag = f"b{batch}-v{n_views_total}-{quant or 'bf16'}"
+    khash = _kernel_hash(config_tag)
+    cert_state = _load_cert_state()
 
     from jcf_tpu.infer import TTAEngine
     from jcf_tpu.models import VIT_B_32, init_clip_params
@@ -203,10 +270,62 @@ def main() -> None:
 
     keys = jax.random.split(jax.random.PRNGKey(0), warmup + iters)
 
-    # warmup / compile
+    # warmup / compile the serving program
     for i in range(warmup):
         out = engine.features_from_images(images, text, keys[i])
     jax.block_until_ready(out)
+
+    record: dict = {}
+    failed_assertion = None
+    infra_error = None
+
+    def _phase(name, fn, persist_key):
+        """Run a cert phase (before the timed loop) under the deadline,
+        falling back to the persisted green record for identical kernels."""
+        nonlocal failed_assertion, infra_error
+        persisted = cert_state.get(persist_key)
+        if time.perf_counter() - t_start > cert_deadline:
+            if persisted and persisted.get("hash") == khash:
+                record.update(persisted["fields"])
+                record[f"{name}_source"] = "persisted"
+                return
+            record[f"{name}_source"] = (
+                "skipped (cold-compile wall clock over deadline; no persisted "
+                "green record for these kernel sources)"
+            )
+            return
+        try:
+            fields = fn()
+        except AssertionError as exc:
+            record[f"{name}_error"] = str(exc)
+            failed_assertion = exc
+            return
+        except Exception as exc:
+            record[f"{name}_error"] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            infra_error = exc
+            if persisted and persisted.get("hash") == khash:
+                record.update(persisted["fields"])
+                record[f"{name}_source"] = "persisted (live run errored)"
+            return
+        record.update(fields)
+        record[f"{name}_source"] = "live"
+        cert_state[persist_key] = {"hash": khash, "fields": fields}
+        _save_cert_state(cert_state)
+
+    # cert + smoke run BEFORE the timed loop (VERDICT r2 #2): their fields
+    # cannot be lost to a slow throughput phase
+    if run_cert:
+        _phase(
+            "cert",
+            lambda: _ranking_certificate(engine, params, cfg, images, text, keys[0]),
+            f"cert:{config_tag}",
+        )
+    if run_smoke:
+        _phase(
+            "smoke",
+            lambda: {"kernel_smoke": _kernel_smoke(params, cfg)},
+            f"smoke:{config_tag}",
+        )
 
     start = time.perf_counter()
     outs = []
@@ -224,26 +343,14 @@ def main() -> None:
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / baseline, 4),
+        **record,
     }
 
-    try:
-        if run_cert and time.perf_counter() - t_start > cert_deadline:
-            record["cert"] = "skipped (cold-compile wall clock over deadline)"
-            run_cert = False
-        if run_cert:
-            record.update(_ranking_certificate(engine, params, cfg, images, text, keys[0]))
-        if run_smoke:
-            record["kernel_smoke"] = _kernel_smoke(params, cfg)
-    except AssertionError as exc:  # correctness gate: fail loudly
-        record["cert_error"] = str(exc)
-        print(json.dumps(record))
-        raise
-    except Exception as exc:  # cert infra failure: record, keep the number
-        record["cert_error"] = f"{type(exc).__name__}: {str(exc)[:300]}"
-        print(json.dumps(record))
-        return
-
     print(json.dumps(record))
+    if failed_assertion is not None:  # correctness gate: fail loudly
+        raise failed_assertion
+    if infra_error is not None and strict:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

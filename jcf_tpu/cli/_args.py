@@ -30,9 +30,11 @@ def build_parser(description: str, default_seed: int) -> argparse.ArgumentParser
     p.add_argument("--r", type=int, default=4)
     p.add_argument("--alpha", type=float, default=1)
     p.add_argument("--dropout_rate", type=float, default=0.25)
-    # TPU-native knobs
-    p.add_argument("--n_views", type=int, default=512,
-                   help="TTA crop count (reference: 512; perf preset: 8)")
+    # TPU-native knobs. n_views/batch_images default to None so an
+    # explicitly passed value can be told apart from the default and wins
+    # over the --perf preset (ADVICE r2).
+    p.add_argument("--n_views", type=int, default=None,
+                   help="TTA crop count (reference default: 512; perf preset: 8)")
     p.add_argument("--batch_images", type=int, default=None)
     p.add_argument("--dtype", type=str, choices=["float32", "bfloat16"], default="float32")
     p.add_argument("--attention_impl", type=str, default=None,
@@ -63,10 +65,12 @@ def config_from_args(args: argparse.Namespace) -> PipelineConfig:
         ),
         tta=dataclasses.replace(
             cfg.tta,
-            n_views=args.n_views if not getattr(args, "perf", False) else cfg.tta.n_views,
+            # explicit flags override the preset; otherwise the preset (or
+            # base-config) value stands
+            n_views=args.n_views if args.n_views is not None else cfg.tta.n_views,
             batch_images=(
                 args.batch_images
-                if args.batch_images is not None and not getattr(args, "perf", False)
+                if args.batch_images is not None
                 else cfg.tta.batch_images
             ),
         ),

@@ -302,7 +302,6 @@ class TTAEngine:
                 )
                 views = fused_views_nchw(
                     images, cy, cx, inv, cfg.image_resolution,
-                    cfg.vision_patch_size,
                     interpret=jax.default_backend() != "tpu",
                 )  # [B, N, C, o, q]
                 p = cfg.vision_patch_size

@@ -1,25 +1,25 @@
-"""Fused TTA view sampling + patchify as one Pallas kernel.
+"""Fused TTA view sampling as one Pallas kernel.
 
 The XLA pipeline for device-side crops (PERF.md, infer/engine.py)
 materializes every intermediate in HBM: the interpolation matrices, the
 row-resampled tensor, the flipped column matrices (a full `rev`), the
-views, and a relayout copy before the patch embed — the bench trace shows
-~9 ms/iter of pure layout traffic at 128x8 views (scripts/trace_bench.py:
-copy 2.9 + reshape 2.8 + rev 1.1 + view fusions ~3).
+views — the bench trace shows ~9 ms/iter of pure layout traffic at 128x8
+views (scripts/trace_bench.py: copy 2.9 + reshape 2.8 + rev 1.1 + view
+fusions ~3).
 
 This kernel keeps the whole view stage in VMEM, one image per program:
 
-  x2 [256, C*W]  (source image, H-major)          ~0.4 MB
-  per view v:
-    wy  = triangle(centers_y[v])   [224, 256]     built in-kernel
-    t   = wy @ x2                  [224, C*W]     row resample (MXU)
-    wxT = triangle(centers_x[v])   [256, 224]     built TRANSPOSED
-    out = t' @ wxT                 [(o,c)=672, 224]  col resample (MXU)
-    per gw: write [gh=7, (ph,c,pw)=3072] patch rows
+  per view v, per channel c:
+    wy  = triangle(centers_y[v])   [224, H]       built in-kernel
+    t   = wy @ X_c                 [224, W]       row resample (MXU)
+    wxT = triangle(centers_x[v])   [W, 224]       built TRANSPOSED
+    view_c = t @ wxT               [224, 224]     col resample (MXU)
 
-Output [B, V, 7, 7, 3072] is directly GEMM-ready against the patch-embed
-weight permuted to (ph, c, pw, E) — no transposes anywhere. Horizontal
-flips are folded into the column centers (mirror), so no `rev` pass.
+Output is [B, V, C, out, out] NCHW views; patchify + embed happens
+outside (engine.features_from_images, as a 6D dot_general) — an in-kernel
+patch regroup needs a sublane->lane shape cast Mosaic doesn't support
+(PERF.md). Horizontal flips are folded into the column centers (mirror),
+so no `rev` pass, and the transposed column weights avoid any relayout.
 
 Exactness: identical math to engine.device_tta_views_nhcw + patchify
 (same triangle kernel, same normalization); verified in
@@ -63,7 +63,7 @@ def _view_kernel(
     cx_ref,      # [1, V, out] f32 col centers (flip already folded)
     inv_ref,     # [1, V, 2] f32 inverse supports (y, x)
     out_ref,     # [1, V, C, out, out] bf16 views, NCHW
-    *, n_views, out_size, patch, channels, h_src, w_src,
+    *, n_views, out_size, channels, h_src, w_src,
 ):
     # Mosaic rejects sublane<->lane shape casts and strided middle-dim
     # stores, so the patch regroup stays outside; in-kernel everything is
@@ -138,7 +138,6 @@ def fused_views_nchw(
     cx: jax.Array,      # [B, V, out]
     inv: jax.Array,     # [B, V, 2]
     out_size: int,
-    patch: int,
     *,
     interpret: bool = False,
 ) -> jax.Array:
@@ -154,7 +153,7 @@ def fused_views_nchw(
     return pl.pallas_call(
         functools.partial(
             _view_kernel, n_views=n_views, out_size=out_size,
-            patch=patch, channels=c, h_src=h, w_src=w,
+            channels=c, h_src=h, w_src=w,
         ),
         grid=(b,),
         in_specs=[

@@ -201,6 +201,13 @@ def test_cli_arg_parsing():
     assert perf.tta.n_views == 8 and perf.tta.device_crops
     assert perf.runtime.compute_dtype == "bfloat16"
 
+    # explicit flags beat the --perf preset (ADVICE r2)
+    mixed = config_from_args(
+        p.parse_args(["--perf", "--n_views", "16", "--batch_images", "4"])
+    )
+    assert mixed.tta.n_views == 16 and mixed.tta.batch_images == 4
+    assert mixed.runtime.compute_dtype == "bfloat16"
+
 
 def test_stage1_resume(workspace):
     """Re-invoking stage-1 with more epochs resumes from the checkpoint

@@ -22,7 +22,7 @@ def test_fused_views_match_engine_pipeline():
     ref = device_tta_views_nhcw(images, key, n_views - 1, out_size)
 
     cy, cx, inv = sample_view_centers(key, b, n_views, (h, w), out_size)
-    got = fused_views_nchw(images, cy, cx, inv, out_size, patch, interpret=True)
+    got = fused_views_nchw(images, cy, cx, inv, out_size, interpret=True)
 
     assert got.shape == (b, n_views, c, out_size, out_size)
     # ref is NHCW [B, V, o, C, q]; kernel emits NCHW
