@@ -239,7 +239,12 @@ def main() -> None:
     cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "360"))
     t_start = time.perf_counter()
 
-    config_tag = f"b{batch}-v{n_views_total}-{quant or 'bf16'}"
+    static_tag = "-static" if os.environ.get("JCF_BENCH_STATIC", "0") == "1" else ""
+    embed_tag = (
+        f"-{os.environ['JCF_BENCH_EMBED']}"
+        if os.environ.get("JCF_BENCH_EMBED", "dot6") != "dot6" else ""
+    )
+    config_tag = f"b{batch}-v{n_views_total}-{quant or 'bf16'}{static_tag}{embed_tag}"
     khash = _kernel_hash(config_tag)
     cert_state = _load_cert_state()
 
@@ -248,6 +253,14 @@ def main() -> None:
 
     cfg = VIT_B_32
     params = init_clip_params(0, cfg)
+
+    rng = np.random.default_rng(0)
+    # staged in the compute dtype: the serving host uploads bf16 pixels
+    # (raw [0,1] range — normalization is folded into the patch embed)
+    images_np = rng.random((batch, 3, 256, 256)).astype(np.float32)
+    # JCF_BENCH_STATIC=1: calibrate per-layer static activation quant
+    # scales on the serving sample (engine does a one-time f32 pass)
+    static_act = os.environ.get("JCF_BENCH_STATIC", "0") == "1"
     engine = TTAEngine(
         params,
         cfg,
@@ -255,16 +268,11 @@ def main() -> None:
         n_views=n_views,
         normalize_views=True,
         quant=quant,
+        calibration_images=images_np if (static_act and quant) else None,
+        embed_impl=os.environ.get("JCF_BENCH_EMBED", "dot6"),
     )
 
-    rng = np.random.default_rng(0)
-    # staged in the compute dtype: the serving host uploads bf16 pixels
-    # (raw [0,1] range — normalization is folded into the patch embed)
-    images = jax.device_put(
-        jnp.asarray(rng.random((batch, 3, 256, 256)).astype(np.float32)).astype(
-            jnp.bfloat16
-        )
-    )
+    images = jax.device_put(jnp.asarray(images_np).astype(jnp.bfloat16))
     text = rng.standard_normal((403, cfg.embed_dim)).astype(np.float32)
     text = jax.device_put(jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True)))
 

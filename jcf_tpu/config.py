@@ -106,6 +106,9 @@ class RuntimeConfig:
     attention_impl: Optional[str] = None  # None = auto (pallas on TPU)
     quant: Optional[str] = None  # "int8" = W8A8 serving towers (certified)
     mesh_axis: str = "data"
+    # shard serving image batches over all visible devices (params
+    # replicated); single-device when only one device is visible
+    data_parallel: bool = True
     profile_dir: Optional[str] = None
 
 

@@ -148,7 +148,7 @@ def device_tta_views_nhcw(
     b, c, h, w = images.shape
     n = n_views + 1
 
-    keys = jax.random.split(key, b)
+    keys = jax.random.split(key, b) if key.ndim == 1 else key
     boxes, flips = jax.vmap(
         lambda k: sample_crop_boxes(k, n_views, (h, w), scale)
     )(keys)  # [B, V, 4], [B, V]
@@ -215,6 +215,16 @@ class TTAEngine:
       (bit-parity path with the reference's PIL crops)
     - ``features_from_images``: source images [B, 3, H, W]; views are
       sampled on device (throughput path)
+
+    Data parallelism: pass a ``mesh`` (1-D over axis "data", or any mesh
+    containing that axis) and every entry point shards its image batch
+    over the axis with parameters replicated — the TPU-native scale-out
+    for the reference's serving loops (SURVEY.md §2.5 row 1: whole TTA
+    batch = one XLA program per chip). The compute is embarrassingly
+    parallel per image (``shard_map`` with no collectives); batches are
+    padded to a device multiple by repeating the last image and sliced
+    back, and per-image crop RNG keys are pre-split on the global batch so
+    results are value-identical to the single-device path.
     """
 
     def __init__(
@@ -230,6 +240,9 @@ class TTAEngine:
         mta_params: MTAParams = MTAParams(),
         quant: Optional[str] = None,  # "int8" -> W8A8 tower matmuls
         fused_views: bool = True,  # Pallas view+patchify kernel
+        mesh=None,  # jax.sharding.Mesh with a "data" axis -> DP serving
+        calibration_images=None,  # [B, 3, H, W] sample -> static act quant
+        embed_impl: str = "dot6",  # "dot6" | "conv" (patchify+embed form)
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -244,12 +257,44 @@ class TTAEngine:
             lambda x: x.astype(dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
             params,
         )
-        # optional W8A8 serving mode: block matmul weights quantized once
+        # optional W8A8 serving mode: block matmul weights quantized once.
+        # On the fused-kernel path the LN affine and attention scale fold
+        # into the int8 weights at quantization time (exact; PERF.md r3) —
+        # the composable path (explicit impl / non-TPU backends) keeps the
+        # unfolded tree.
         self._quant_visual = None
+        self._quant_folded = False
         if quant == "int8":
             from jcf_tpu.ops.quant import quantize_clip_params
 
-            self._quant_visual = quantize_clip_params(params)["visual"]
+            fold = impl in (None, "fused") and jax.default_backend() == "tpu"
+            act_scales = None
+            if fold and calibration_images is not None:
+                # per-layer static activation scales for the post-LN
+                # quantizations, calibrated on a serving-distribution
+                # sample (z-scored LN inputs; see vision_ln_z_amax).
+                # Honest per-deployment calibration: scales derive from
+                # runtime data, and the bench ranking cert still gates
+                # int8-vs-f32 agreement on the final config.
+                from jcf_tpu.models.clip import vision_ln_z_amax
+
+                imgs = jnp.asarray(calibration_images[:32], jnp.float32)
+                if imgs.shape[-1] != cfg.image_resolution:
+                    imgs = _center_crop_view(imgs, cfg.image_resolution)
+                if normalize_views:
+                    mean_ = jnp.asarray(CLIP_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+                    std_ = jnp.asarray(CLIP_STD, jnp.float32).reshape(1, 3, 1, 1)
+                    imgs = (imgs - mean_) / std_
+                amax = jax.jit(
+                    lambda p, im: vision_ln_z_amax(p, cfg, im)
+                )(params, imgs)
+                act_scales = {"visual": jax.device_get(amax)}
+            self._quant_visual = quantize_clip_params(
+                params, fold=fold,
+                heads={"visual": cfg.vision_heads, "text": cfg.text_heads},
+                act_scales=act_scales,
+            )["visual"]
+            self._quant_folded = fold
         elif quant is not None:
             raise ValueError(f"unknown quant mode {quant!r}")
 
@@ -257,18 +302,19 @@ class TTAEngine:
         std = jnp.asarray(CLIP_STD, jnp.float32).reshape(3, 1, 1)
 
         quant_visual = self._quant_visual
+        quant_folded = self._quant_folded
         use_fused_views = fused_views
 
         def _encode_cloud(params, crops):  # [B, N, 3, s, s] -> [B, N, D]
             b, n = crops.shape[:2]
             flat = crops.reshape((b * n,) + crops.shape[2:])
             feats = encode_image(
-                params, cfg, flat, dtype=dtype, impl=impl, quant=quant_visual
+                params, cfg, flat, dtype=dtype, impl=impl, quant=quant_visual,
+                quant_folded=quant_folded,
             )
             feats = l2_normalize(feats)
             return feats.reshape(b, n, -1).astype(jnp.float32)
 
-        @jax.jit
         def features_from_crops(params, crops, text_weights):
             clouds = _encode_cloud(params, crops)
             return solve_mta_batch(clouds, text_weights, self.mta)
@@ -287,8 +333,10 @@ class TTAEngine:
             dtype=dtype,
         )
 
-        @jax.jit
-        def features_from_images(params, images, text_weights, key):
+        def features_from_images_keys(params, images, text_weights, keys):
+            # keys: pre-split [B, 2] per-image crop keys (value-identical
+            # to splitting a single key in here; pre-splitting lets the DP
+            # wrapper shard them with the batch)
             images = images.astype(dtype)
             b = images.shape[0]
             n = n_views + 1
@@ -298,7 +346,7 @@ class TTAEngine:
                 # the wy/wx/t/rev HBM materializations of the XLA view
                 # pipeline (scripts/trace_bench.py; ops/view_kernel.py)
                 cy, cx, inv = sample_view_centers(
-                    key, b, n, images.shape[2:], cfg.image_resolution, crop_scale
+                    keys, b, n, images.shape[2:], cfg.image_resolution, crop_scale
                 )
                 views = fused_views_nchw(
                     images, cy, cx, inv, cfg.image_resolution,
@@ -306,52 +354,154 @@ class TTAEngine:
                 )  # [B, N, C, o, q]
                 p = cfg.vision_patch_size
                 g = cfg.image_resolution // p
-                # patchify+embed as one 6D dot_general off NCHW (the
-                # stride-p conv form compiles pathologically slowly
-                # through the remote helper)
-                x6 = views.reshape(b * n, 3, g, p, g, p)
-                tokens = jax.lax.dot_general(
-                    x6, w4, (((1, 3, 5), (0, 1, 2)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(b * n, g * g, -1) + fold_bias
+                if embed_impl == "conv":
+                    # stride-p conv with NHWC output (no output transpose)
+                    kern = jnp.transpose(w4, (3, 0, 1, 2))  # [E, C, p, p]
+                    tokens = jax.lax.conv_general_dilated(
+                        views.reshape(b * n, 3, g * p, g * p), kern,
+                        (p, p), "VALID",
+                        dimension_numbers=("NCHW", "OIHW", "NHWC"),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(b * n, g * g, -1) + fold_bias
+                else:
+                    # patchify+embed as one 6D dot_general off NCHW
+                    x6 = views.reshape(b * n, 3, g, p, g, p)
+                    tokens = jax.lax.dot_general(
+                        x6, w4, (((1, 3, 5), (0, 1, 2)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(b * n, g * g, -1) + fold_bias
             else:
                 views = device_tta_views_nhcw(
-                    images, key, n_views, cfg.image_resolution, crop_scale
+                    images, keys, n_views, cfg.image_resolution, crop_scale
                 )  # [B, N+1, o, C, q] — center view first
                 flat = views.reshape((b * n,) + views.shape[2:])
                 tokens = embed_views_nhcw(flat, w4, fold_bias)
             feats = encode_image_tokens(
-                params, cfg, tokens, dtype=dtype, impl=impl, quant=quant_visual
+                params, cfg, tokens, dtype=dtype, impl=impl, quant=quant_visual,
+                quant_folded=quant_folded,
             )
             feats = l2_normalize(feats).reshape(b, n, -1).astype(jnp.float32)
             return solve_mta_batch(feats, text_weights, self.mta)
 
-        @jax.jit
         def cloud_features(params, crops):
             return _encode_cloud(params, crops)
 
-        @jax.jit
         def mta_from_features(feats, text_weights):
             return solve_mta_batch(feats, text_weights, self.mta)
 
-        self._features_from_crops = features_from_crops
-        self._features_from_images = features_from_images
-        self._cloud_features = cloud_features
-        self._mta_from_features = mta_from_features
+        def features_from_images_key(params, images, text_weights, key):
+            # single-device path: split in-jit — one dispatch per batch
+            # (a separate host-side split costs a full tunnel round trip
+            # per iteration on remote-attached chips)
+            keys = jax.random.split(key, images.shape[0])
+            return features_from_images_keys(params, images, text_weights, keys)
+
+        self.mesh = mesh
+        if mesh is None:
+            self._features_from_crops = jax.jit(features_from_crops)
+            self._features_from_images = jax.jit(features_from_images_key)
+            self._cloud_features = jax.jit(cloud_features)
+            self._mta_from_features = jax.jit(mta_from_features)
+        else:
+            # shard_map over the data axis: per-image compute, zero
+            # collectives; each shard runs the single-device program on
+            # its slice of the (padded) batch
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+
+            axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+            self._data_axis = axis
+            self._n_data = mesh.shape[axis]
+            bs = P(axis)  # dim-0 batch sharding (other dims replicated)
+            rp = P()
+            self._params = jax.device_put(
+                self._params, jax.sharding.NamedSharding(mesh, rp)
+            )
+
+            def sharded(f, in_batch_argnums, n_args):
+                specs = tuple(
+                    bs if i in in_batch_argnums else rp for i in range(n_args)
+                )
+                return jax.jit(
+                    shard_map(
+                        f, mesh=mesh, in_specs=specs, out_specs=bs,
+                        check_vma=False,
+                    )
+                )
+
+            self._features_from_crops = sharded(features_from_crops, {1}, 3)
+            self._features_from_images = sharded(features_from_images_keys, {1, 3}, 4)
+            self._cloud_features = sharded(cloud_features, {1}, 2)
+            self._mta_from_features = sharded(mta_from_features, {0}, 2)
+
+    # -- DP batch plumbing ---------------------------------------------
+
+    def _pad_batch(self, x):
+        """Pad dim 0 to a multiple of the data-axis size by repeating the
+        last row (padded rows are sliced away after the call)."""
+        b = x.shape[0]
+        r = (-b) % self._n_data
+        if r:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], r, axis=0)], axis=0)
+        return x
+
+    def _put_batch(self, x):
+        from jcf_tpu.parallel import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh, x.ndim, self._data_axis))
+
+    def _put_repl(self, x):
+        from jcf_tpu.parallel import replicated_sharding
+
+        return jax.device_put(x, replicated_sharding(self.mesh))
+
+    # -- public API ----------------------------------------------------
 
     def features_from_crops(self, crops, text_weights):
         """crops [B, N, 3, s, s] (row 0 should be the center view) ->
         MTA mode features [B, D]."""
-        return self._features_from_crops(self._params, crops, text_weights)
+        if self.mesh is None:
+            return self._features_from_crops(self._params, crops, text_weights)
+        b = crops.shape[0]
+        out = self._features_from_crops(
+            self._params, self._put_batch(self._pad_batch(crops)),
+            self._put_repl(text_weights),
+        )
+        return out[:b]
 
     def features_from_images(self, images, text_weights, key):
         """images [B, 3, H, W] (e.g. 256x256 resized, [0,1] range) ->
         MTA mode features [B, D]; views sampled on device."""
-        return self._features_from_images(self._params, images, text_weights, key)
+        b = images.shape[0]
+        if self.mesh is None:
+            return self._features_from_images(
+                self._params, images, text_weights, key
+            )
+        b_pad = b + ((-b) % self._n_data)
+        # per-image keys split on the GLOBAL padded batch: the first b
+        # keys equal a b-way split (prefix property), so modes match the
+        # single-device path exactly
+        keys = jax.random.split(key, b_pad)
+        out = self._features_from_images(
+            self._params,
+            self._put_batch(self._pad_batch(images)),
+            self._put_repl(text_weights),
+            self._put_batch(keys),
+        )
+        return out[:b]
 
     def crop_features(self, crops):
         """[B, N, 3, s, s] -> per-view L2-normalized features [B, N, D]."""
-        return self._cloud_features(self._params, crops)
+        if self.mesh is None:
+            return self._cloud_features(self._params, crops)
+        b = crops.shape[0]
+        return self._cloud_features(
+            self._params, self._put_batch(self._pad_batch(crops))
+        )[:b]
 
     def mta_from_features(self, feats, text_weights):
         """Cached per-view features [B, N, D] -> MTA mode features [B, D].
@@ -360,7 +510,12 @@ class TTAEngine:
         crops), t)`` — lets callers encode a crop cloud once and solve MTA
         against several classifiers (the reference encodes once per tower,
         /root/reference/test.py:1705-1710)."""
-        return self._mta_from_features(feats, text_weights)
+        if self.mesh is None:
+            return self._mta_from_features(feats, text_weights)
+        b = feats.shape[0]
+        return self._mta_from_features(
+            self._put_batch(self._pad_batch(feats)), self._put_repl(text_weights)
+        )[:b]
 
     def logits(self, modes, text_weights):
         return (modes @ text_weights.T) * 100.0

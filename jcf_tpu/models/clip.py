@@ -179,6 +179,7 @@ def _run_blocks(
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
+    quant_folded: bool = False,
 ) -> jax.Array:
     """Scan the stacked residual blocks over [B, S, E] activations.
 
@@ -210,8 +211,13 @@ def _run_blocks(
         from jcf_tpu.ops.block_kernel import run_fused_tower
 
         return run_fused_tower(
-            x, blocks, n_heads, mask, quant=quant,
+            x, blocks, n_heads, mask, quant=quant, quant_folded=quant_folded,
             interpret=jax.default_backend() != "tpu",
+        )
+    if quant_folded:
+        raise ValueError(
+            "quant_folded trees are serving-only (fused kernels); the "
+            "composable path needs an unfolded quantize_clip_params tree"
         )
 
     def body(carry, scanned):
@@ -295,6 +301,58 @@ def _run_blocks(
     return x
 
 
+def vision_ln_z_amax(
+    params: dict,
+    cfg: CLIPConfig,
+    images: jax.Array,  # [B, 3, 224, 224] calibration crops
+) -> jax.Array:
+    """Per-layer amax of the Z-NORMALIZED LN1/LN2 inputs of the vision
+    tower over a calibration batch -> [L, 2] f32.
+
+    This is the activation statistic the static-scale int8 kernels need:
+    with the LN affine folded into the weights (quantize_clip_params
+    fold=True) the quantizer input is the plain z-scored row, whose range
+    is stable across tokens — a per-layer static scale replaces the
+    per-row |x|max reduction. Composable f32 forward, jit-able.
+    """
+    from jcf_tpu.ops.attention import multi_head_attention
+    from jcf_tpu.ops.layers import layer_norm, linear, mlp
+
+    v = params["visual"]
+    x = linear(_patchify(images.astype(jnp.float32), cfg.vision_patch_size),
+               v["patch_embed"]["w"].astype(jnp.float32))
+    cls = jnp.broadcast_to(
+        v["class_embedding"].astype(jnp.float32)[None, None, :],
+        (x.shape[0], 1, x.shape[-1]),
+    )
+    x = jnp.concatenate([cls, x], axis=1) + v["positional_embedding"].astype(jnp.float32)
+    x = layer_norm(x, v["ln_pre"]["scale"], v["ln_pre"]["bias"])
+
+    def z_amax(t):
+        t32 = t.astype(jnp.float32)
+        mu = jnp.mean(t32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(t32 - mu), axis=-1, keepdims=True)
+        return jnp.max(jnp.abs((t32 - mu) * jax.lax.rsqrt(var + 1e-5)))
+
+    blocks = v["blocks"]
+    n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    rows = []
+    for i in range(n_layers):
+        layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
+        a1 = z_amax(x)
+        x = x + multi_head_attention(
+            layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"]),
+            layer["attn"], cfg.vision_heads, None, impl="xla",
+        )
+        a2 = z_amax(x)
+        x = x + mlp(
+            layer_norm(x, layer["ln_2"]["scale"], layer["ln_2"]["bias"]),
+            layer["mlp"],
+        )
+        rows.append(jnp.stack([a1, a2]))
+    return jnp.stack(rows)  # [L, 2]
+
+
 def _patchify(images: jax.Array, patch: int) -> jax.Array:
     """[B, 3, H, W] -> [B, gh*gw, 3*p*p] with (c, ph, pw) pixel order,
     matching Conv2d weight layout [width, 3, p, p] flattened."""
@@ -372,6 +430,7 @@ def encode_image(
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
+    quant_folded: bool = False,
     layout: str = "nchw",
 ) -> jax.Array:
     """Image features [B, embed_dim] (pre-normalization), as
@@ -381,7 +440,8 @@ def encode_image(
     x = patchify(images.astype(dtype), cfg.vision_patch_size)
     x = linear(x, v["patch_embed"]["w"].astype(dtype))  # [B, G², W]
     return encode_image_tokens(
-        params, cfg, x, dtype=dtype, impl=impl, lora_ctx=lora_ctx, quant=quant
+        params, cfg, x, dtype=dtype, impl=impl, lora_ctx=lora_ctx, quant=quant,
+        quant_folded=quant_folded,
     )
 
 
@@ -394,6 +454,7 @@ def encode_image_tokens(
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
+    quant_folded: bool = False,
 ) -> jax.Array:
     """Vision tower from embedded patch tokens (CLS prepend onward)."""
     v = params["visual"]
@@ -427,6 +488,7 @@ def encode_image_tokens(
         impl=impl,
         lora_ctx=lora_ctx,
         quant=quant,
+        quant_folded=quant_folded,
     )
 
     x = layer_norm(x[:, 0], v["ln_post"]["scale"], v["ln_post"]["bias"])

@@ -46,6 +46,15 @@ def _ln_rows(x, scale, bias, eps=1e-5):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+def _ln_norm(x, eps=1e-5):
+    """LayerNorm without the affine — the g/b pair is folded into the
+    following int8 projection (quantize_clip_params(fold=True))."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps)
+
+
 def _quant_rows(x32):
     """Dynamic per-row symmetric int8: (values int8, scale [rows, 1] f32).
     Runs on rows already resident in VMEM — the quantization passes that
@@ -59,34 +68,55 @@ def _quant_rows(x32):
     return q, amax * (1.0 / 127.0)
 
 
+def _quant_rows_static(x32, inv):
+    """Static-scale symmetric int8 (inv = 127/amax_calibrated, scalar);
+    the dequant scale amax/127 is pre-folded into the weight scales."""
+    return jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+
+
 def _int8_gemm(x_q, x_scale, w_int8_ref, w_scale_ref, bias_ref):
     """int8 x int8 -> int32 MXU GEMM with per-row/per-channel rescale.
-    w layout: [out, in] int8 + [out] f32 scale (+ [out] f32 bias)."""
+    w layout: [out, in] int8 + [out] f32 scale (+ [out] f32 bias).
+    x_scale=None: static activation scale already folded into w_scale."""
     acc = jax.lax.dot_general(
         x_q, w_int8_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * x_scale * w_scale_ref[...].astype(jnp.float32)
+    y = acc.astype(jnp.float32) * w_scale_ref[...].astype(jnp.float32)
+    if x_scale is not None:
+        y = y * x_scale
     if bias_ref is not None:
         y = y + bias_ref[...].astype(jnp.float32)
     return y
 
 
 def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
-                       precision=None):
+                       precision=None, *, s_real=None, use_mask=True):
     """qkv [G*S, 3E] -> context [G*S, E].
 
     Per head: one crop-batched dot_general pair ([G, S, D] x [G, S, D]) —
     Mosaic vectorizes the batch dim on the MXU, replacing the former
     G x H fori_loop of tiny matmuls (measured ~20x faster at tower shapes).
+
+    ``scale=None`` means 1/sqrt(d) is already folded into the q projection
+    (quantize_clip_params(fold=True)). ``use_mask=False`` (no causal mask;
+    the serving vision tower) selects the cheap paired epilogue: pad-key
+    masking moves out of the additive bias into zeroed K/V rows + a sum
+    selector, so ``bias`` is ignored and ``s_real`` carries the unpadded
+    sequence length.
     """
     e = n_heads * head_dim
     if _ATTN_STUB:  # perf attribution: skip scores/softmax/PV entirely
         return qkv[:, :e].astype(jnp.float32)
     q3 = qkv.reshape(group, s_pad, 3 * e)  # row-major view, free
     if _PAIR_HEADS and n_heads % 2 == 0:
-        return _paired_attention(
-            q3, bias, n_heads, head_dim, scale, group, s_pad, precision
+        if use_mask:
+            return _paired_attention(
+                q3, bias, n_heads, head_dim, scale, group, s_pad, precision
+            )
+        return _paired_attention_nomask(
+            q3, n_heads, head_dim, scale, group, s_pad, precision,
+            s_real=s_real if s_real is not None else s_pad,
         )
     ctx = []
     for h in range(n_heads):
@@ -96,7 +126,10 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
         scores = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * scale + bias[None]
+        )
+        if scale is not None:
+            scores = scores * scale
+        scores = scores + bias[None]
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -106,6 +139,88 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
                 preferred_element_type=jnp.float32, precision=precision,
             )
         )
+    return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
+
+
+def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
+                             precision=None, *, s_real):
+    """Paired-head attention, no-causal-mask epilogue (PERF.md r3).
+
+    Same zero-masked K/V pairing as ``_paired_attention`` (two heads per
+    128-lane MXU pass, exact math), but the softmax epilogue touches the
+    [G, S, 2S] probability tensor as little as possible:
+
+    - pad keys are zeroed in K2/V2 (the row mask rides the lane masks the
+      pairing already applies), so no additive bias pass and garbage pad
+      rows can't poison real rows;
+    - ONE joint row max (zero pad-columns bound it below by 0) replaces
+      the two masked maxima — any per-row constant is valid for softmax;
+    - PV runs on UNNORMALIZED probabilities; the per-half normalizers
+      come from one [2S, 2] selector matvec (which also excludes pad
+      keys) and divide the [G, S, 2D] context post-PV — ~26x fewer
+      elements than normalizing the probabilities.
+
+    vs the masked epilogue: 4 masked reductions + bias add + probability
+    divide (~10 VPU passes over [G, S, 2S]) become max + exp (2 passes).
+    """
+    e = n_heads * head_dim
+    d2 = 2 * head_dim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d2), 2)
+    lo_lane = lane < head_dim
+    if s_real != s_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad, 1), 1)
+        row_ok = row < s_real
+        lo_mask = lo_lane & row_ok
+        hi_mask = (~lo_lane) & row_ok
+    else:
+        lo_mask = lo_lane
+        hi_mask = ~lo_lane
+
+    # [2S, 2D] per-half sum selector in BROADCAST position: lane block
+    # 0..D is 1 for head-lo's (real) keys, D..2D for head-hi's — so
+    # p @ sel lands the per-half normalizers directly on the context's
+    # lane layout at full MXU width (an [2S, 2] matvec wastes 126 lanes
+    # and measured slower).
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (2 * s_pad, d2), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (2 * s_pad, d2), 1)
+    sel = jnp.where(
+        ((l_i < head_dim) & (r_i < s_real))
+        | ((l_i >= head_dim) & (r_i >= s_pad) & (r_i < s_pad + s_real)),
+        jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+
+    ctx = []
+    for p_idx in range(n_heads // 2):
+        o = p_idx * d2
+        qp = q3[:, :, o : o + d2]
+        kp = q3[:, :, e + o : e + o + d2]
+        vp = q3[:, :, 2 * e + o : 2 * e + o + d2]
+        zero = jnp.zeros_like(kp)
+        k2 = jnp.concatenate(
+            [jnp.where(lo_mask, kp, zero), jnp.where(hi_mask, kp, zero)], axis=1
+        )  # [G, 2S, 2D]
+        v2 = jnp.concatenate(
+            [jnp.where(lo_mask, vp, zero), jnp.where(hi_mask, vp, zero)], axis=1
+        )
+        scores = jax.lax.dot_general(
+            qp, k2, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [G, S, 2S] = [lo | hi]
+        if scale is not None:
+            scores = scores * scale
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        pc = p.astype(v2.dtype)
+        ctx_u = jax.lax.dot_general(
+            pc, v2, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [G, S, 2D] unnormalized [ctx_lo | ctx_hi]
+        sums = jax.lax.dot_general(
+            pc, sel.astype(v2.dtype), (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [G, S, 2D] — normalizers already lane-broadcast
+        ctx.append(ctx_u * (1.0 / jnp.maximum(sums, 1e-30)))
     return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
 
 
@@ -151,7 +266,10 @@ def _paired_attention(q3, bias, n_heads, head_dim, scale, group, s_pad,
         scores = jax.lax.dot_general(
             qp, k2, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * scale + bias2  # [G, S, 2S]
+        )  # [G, S, 2S]
+        if scale is not None:
+            scores = scores * scale
+        scores = scores + bias2
         # per-half softmax via masked reductions (halves stay independent)
         neg = jnp.float32(_NEG_INF)
         m_lo = jnp.max(jnp.where(is_lo_col[:, None], scores, neg), -1, keepdims=True)
@@ -174,6 +292,7 @@ def _attn_half_kernel(
     x_ref, ln_s_ref, ln_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     bias_ref, out_ref,
     *, n_heads, head_dim, scale, precision, group, s_pad,
+    s_real=None, use_mask=True,
 ):
     e = n_heads * head_dim
     bias = bias_ref[...]
@@ -191,7 +310,8 @@ def _attn_half_kernel(
     ).astype(rows.dtype)
 
     ctx = _batched_attention(
-        qkv, bias, n_heads, head_dim, scale, group, s_pad, precision
+        qkv, bias, n_heads, head_dim, scale, group, s_pad, precision,
+        s_real=s_real, use_mask=use_mask,
     ).astype(rows.dtype)
 
     proj = (
@@ -206,9 +326,10 @@ def _attn_half_kernel(
 
 
 def _attn_half_int8_kernel(
-    x_ref, ln_s_ref, ln_b_ref, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
+    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
     wout_i8_ref, wout_sc_ref, bout_ref, bias_ref, out_ref,
     *, n_heads, head_dim, scale, group, s_pad,
+    s_real=None, use_mask=True, folded=False, static_act=False,
 ):
     e = n_heads * head_dim
     bias = bias_ref[...]
@@ -220,12 +341,21 @@ def _attn_half_int8_kernel(
     outs = []
     for j in range(n_sub):  # independent chains -> scheduler can overlap
         r = rows[j * m : (j + 1) * m]
-        h_ln = _ln_rows(r, ln_s_ref[...], ln_b_ref[...])
-        x_q, x_sc = _quant_rows(h_ln)
+        h_ln = (
+            _ln_norm(r) if folded
+            else _ln_rows(r, ln_s_ref[...], ln_b_ref[...])
+        )
+        if static_act:
+            x_q, x_sc = _quant_rows_static(h_ln, ln_inv_ref[0, 0]), None
+        else:
+            x_q, x_sc = _quant_rows(h_ln)
         qkv = _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref).astype(
             jnp.bfloat16
         )
-        ctx = _batched_attention(qkv, bias, n_heads, head_dim, scale, g_sub, s_pad)
+        ctx = _batched_attention(
+            qkv, bias, n_heads, head_dim, None if folded else scale,
+            g_sub, s_pad, s_real=s_real, use_mask=use_mask,
+        )
         c_q, c_sc = _quant_rows(ctx)
         proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
         outs.append(r.astype(jnp.float32) + proj)
@@ -234,24 +364,46 @@ def _attn_half_int8_kernel(
 
 
 def _mlp_half_int8_kernel(
-    x_ref, ln_s_ref, ln_b_ref, wfc_i8_ref, wfc_sc_ref, bfc_ref,
+    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, wfc_i8_ref, wfc_sc_ref, bfc_ref,
     wproj_i8_ref, wproj_sc_ref, bproj_ref, out_ref,
-    *, group, s_pad,
+    *, group, s_pad, folded=False, static_act=False,
 ):
     e = x_ref.shape[-1]
+    hidden_dim = wfc_i8_ref.shape[0]
     gs = group * s_pad
     rows = x_ref[...].reshape(gs, e)
     n_sub = _SUBTILES if gs % _SUBTILES == 0 else 1
     m = gs // n_sub
+    nsp = _MLP_NSPLIT if hidden_dim % _MLP_NSPLIT == 0 else 1
+    hs = hidden_dim // nsp
     outs = []
     for j in range(n_sub):  # independent chains -> scheduler can overlap
         r = rows[j * m : (j + 1) * m]
-        h_ln = _ln_rows(r, ln_s_ref[...], ln_b_ref[...])
-        x_q, x_sc = _quant_rows(h_ln)
-        hidden = _int8_gemm(x_q, x_sc, wfc_i8_ref, wfc_sc_ref, bfc_ref)
-        hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU in f32
-        h_q, h_sc = _quant_rows(hidden)
-        proj = _int8_gemm(h_q, h_sc, wproj_i8_ref, wproj_sc_ref, bproj_ref)
+        h_ln = (
+            _ln_norm(r) if folded
+            else _ln_rows(r, ln_s_ref[...], ln_b_ref[...])
+        )
+        if static_act:
+            x_q, x_sc = _quant_rows_static(h_ln, ln_inv_ref[0, 0]), None
+        else:
+            x_q, x_sc = _quant_rows(h_ln)
+        # optional hidden-dim split: each c_fc column block's GELU/requant
+        # epilogue can overlap the next block's GEMMs (per-block h_sc is
+        # just a finer quantization group — exactness unchanged)
+        acc = None
+        for k in range(nsp):
+            sl = slice(k * hs, (k + 1) * hs)
+            hidden = _int8_gemm(
+                x_q, x_sc, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl]
+            )
+            hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU, f32
+            h_q, h_sc = _quant_rows(hidden)
+            part = jax.lax.dot_general(
+                h_q, wproj_i8_ref[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * h_sc * wproj_sc_ref[...].astype(jnp.float32)
+            acc = part if acc is None else acc + part
+        proj = acc + bproj_ref[...].astype(jnp.float32)
         outs.append(r.astype(jnp.float32) + proj)
     out = outs[0] if n_sub == 1 else jnp.concatenate(outs, axis=0)
     out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
@@ -392,13 +544,21 @@ _SUBTILES = 2
 # Two heads per MXU pass (zero-masked K/V stacking, exact): full 128-lane
 # contraction and half the dot_general count vs the per-head loop.
 _PAIR_HEADS = True
+# Split the MLP hidden dim into this many c_fc column blocks so each
+# block's GELU/requant epilogue overlaps the next block's GEMMs (per-block
+# activation scales = finer quant groups; exact w.r.t. the scheme).
+_MLP_NSPLIT = 1
+# Use the mask-free paired softmax epilogue for no-causal-mask towers
+# (joint max + post-PV normalization); False = additive-bias masked path.
+_NOMASK_EPILOGUE = True
 # Sequence padding multiple. 8 is the f32 sublane tile; 16 aligns per-crop
 # row blocks to the bf16 sublane tile (S=50 -> 64), trading ~14% more GEMM
 # rows for relayout-free [G, S, D] views inside the attention section.
 _S_ALIGN = 8
 
 
-def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
+def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
+                  s_real=None, use_mask=True, quant_folded=False):
     """Two-kernel variant (attention half, MLP half) of fused_block."""
     b, s_pad, e = x.shape
     d = e // n_heads
@@ -423,13 +583,20 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
 
     if quant_layer is not None:
         hidden_dim = quant_layer["mlp"]["c_fc"].w_int8.shape[0]
+        static_act = "ln_inv" in quant_layer["attn"]
+        ln1_inv = quant_layer["attn"].get("ln_inv")
+        ln2_inv = quant_layer["mlp"].get("ln_inv")
+        if ln1_inv is None:
+            ln1_inv = ln2_inv = jnp.ones((1, 1), jnp.float32)
         x = pl.pallas_call(
             functools.partial(
                 _attn_half_int8_kernel, n_heads=n_heads, head_dim=d,
                 scale=1.0 / math.sqrt(d), group=group, s_pad=s_pad,
+                s_real=s_real, use_mask=use_mask, folded=quant_folded,
+                static_act=static_act,
             ),
             in_specs=[
-                tile, full((e,)), full((e,)),
+                tile, full((e,)), full((e,)), full((1, 1)),
                 full((3 * e, e)), full((3 * e,)), full((3 * e,)),
                 full((e, e)), full((e,)), full((e,)),
                 full((s_pad, s_pad)),
@@ -438,6 +605,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
         )(
             x,
             params["ln_1"]["scale"].astype(x.dtype), params["ln_1"]["bias"].astype(x.dtype),
+            ln1_inv,
             quant_layer["attn"]["w_qkv"].w_int8, quant_layer["attn"]["w_qkv"].w_scale,
             quant_layer["attn"]["w_qkv"].bias,
             quant_layer["attn"]["w_out"].w_int8, quant_layer["attn"]["w_out"].w_scale,
@@ -445,9 +613,10 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
             bias,
         )
         return pl.pallas_call(
-            functools.partial(_mlp_half_int8_kernel, group=group, s_pad=s_pad),
+            functools.partial(_mlp_half_int8_kernel, group=group, s_pad=s_pad,
+                              folded=quant_folded, static_act=static_act),
             in_specs=[
-                tile, full((e,)), full((e,)),
+                tile, full((e,)), full((e,)), full((1, 1)),
                 full((hidden_dim, e)), full((hidden_dim,)), full((hidden_dim,)),
                 full((e, hidden_dim)), full((e,)), full((e,)),
             ],
@@ -455,6 +624,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
         )(
             x,
             params["ln_2"]["scale"].astype(x.dtype), params["ln_2"]["bias"].astype(x.dtype),
+            ln2_inv,
             quant_layer["mlp"]["c_fc"].w_int8, quant_layer["mlp"]["c_fc"].w_scale,
             quant_layer["mlp"]["c_fc"].bias,
             quant_layer["mlp"]["c_proj"].w_int8, quant_layer["mlp"]["c_proj"].w_scale,
@@ -466,7 +636,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret):
         functools.partial(
             _attn_half_kernel, n_heads=n_heads, head_dim=d,
             scale=1.0 / math.sqrt(d), precision=precision, group=group,
-            s_pad=s_pad,
+            s_pad=s_pad, s_real=s_real, use_mask=use_mask,
         ),
         in_specs=[
             tile, full((e,)), full((e,)),
@@ -508,6 +678,9 @@ def fused_block(
     *,
     quant_layer: "dict | None" = None,  # int8 weights for this layer
     interpret: bool = False,
+    s_real: "int | None" = None,  # unpadded sequence length
+    use_mask: bool = True,  # False -> mask-free paired epilogue
+    quant_folded: bool = False,  # quant_layer built with fold=True
 ) -> jax.Array:
     """One full transformer block through the fused kernels.
 
@@ -517,8 +690,11 @@ def fused_block(
     program's VMEM pressure costs more than the inter-half HBM round trip
     saves). ``_FUSE = "block"`` selects the whole-block kernel."""
     if _FUSE == "halves":
-        return _halves_block(x, params, n_heads, bias, quant_layer, interpret)
+        return _halves_block(x, params, n_heads, bias, quant_layer, interpret,
+                             s_real=s_real, use_mask=use_mask,
+                             quant_folded=quant_folded)
 
+    assert not quant_folded, "folded quant is only wired into the halves kernels"
     b, s_pad, e = x.shape
     d = e // n_heads
     precision = _HI if x.dtype == jnp.float32 else None
@@ -607,35 +783,46 @@ def run_fused_tower(
     mask: Optional[jax.Array] = None,
     *,
     quant: "dict | None" = None,  # stacked int8 weights (quantize_clip_params)
+    quant_folded: bool = False,  # quant built with fold=True (LN/scale folded)
     interpret: bool = False,
 ) -> jax.Array:
     """Scan all layers through the fused block kernels.
 
-    Pads S once to a sublane multiple (pad keys masked with -inf in the
-    additive bias; pad rows carry garbage that never reaches real rows)
-    and slices back at the end.
+    Pads S once to a sublane multiple and slices back at the end. With a
+    causal ``mask`` pad keys are masked with -inf in the additive bias;
+    without one (the serving vision tower) the paired-attention kernels
+    mask pad keys themselves (zeroed K/V rows + sum selector) and the bias
+    operand is unused. Pad rows carry garbage that never reaches real
+    rows either way.
     """
     b, s, e = x.shape
     s_pad = ((s + _S_ALIGN - 1) // _S_ALIGN) * _S_ALIGN
     if s_pad != s:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
 
+    use_mask = (
+        mask is not None
+        or not (_PAIR_HEADS and n_heads % 2 == 0)
+        or not _NOMASK_EPILOGUE
+    )
     bias = jnp.full((s_pad, s_pad), _NEG_INF, dtype=jnp.float32)
     block = jnp.zeros((s, s), jnp.float32) if mask is None else mask.astype(jnp.float32)
     bias = bias.at[:s, :s].set(block)
 
+    kw = dict(interpret=interpret, s_real=s, use_mask=use_mask,
+              quant_folded=quant_folded)
     if quant is not None:
         def body(carry, scanned):
             layer_params, quant_layer = scanned
             return fused_block(
                 carry, layer_params, n_heads, bias,
-                quant_layer=quant_layer, interpret=interpret,
+                quant_layer=quant_layer, **kw,
             ), None
 
         x, _ = jax.lax.scan(body, x, (stacked_blocks, quant))
     else:
         def body(carry, layer_params):
-            return fused_block(carry, layer_params, n_heads, bias, interpret=interpret), None
+            return fused_block(carry, layer_params, n_heads, bias, **kw), None
 
         x, _ = jax.lax.scan(body, x, stacked_blocks)
     return x[:, :s] if s_pad != s else x

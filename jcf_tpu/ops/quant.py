@@ -61,12 +61,87 @@ def int8_linear(x: jax.Array, q: QuantizedLinear) -> jax.Array:
     return y.astype(orig_dtype)
 
 
-def quantize_clip_params(params: dict) -> dict:
+def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
+                         act_scales=None, act_margin: float = 1.05) -> dict:
     """Quantize the heavy matmul weights of a CLIP param tree in place
     (blocks' qkv/out/mlp + patch embed); everything else stays float.
-    Returns a tree holding QuantizedLinear leaves under 'quant'."""
+    Returns a tree holding QuantizedLinear leaves under 'quant'.
 
-    def quant_blocks(blocks):
+    ``fold=True`` produces the serving-folded variant the fused kernels
+    consume with ``quant_folded=True`` (EXACT rewrites, PERF.md r3):
+
+    - the LayerNorm affine folds into the following projection:
+      ``W (x_n * g + b) = (W * g) x_n + W b`` — the kernel's LN then does
+      only the normalization, dropping two VPU passes per LN'd tile;
+    - the attention 1/sqrt(d) score scale folds into the q third of the
+      qkv projection (weights AND bias), dropping the per-element score
+      multiply. Requires ``heads = {"visual": H_v, "text": H_t}``.
+
+    The folded tree computes the same function; only pair it with kernels
+    that skip the LN affine and the score scale (double-applying either
+    would be wrong), which is what ``run_fused_tower(quant_folded=True)``
+    selects.
+
+    ``act_scales`` (fold=True only): per-tower [L, 2] calibrated amax of
+    the z-normalized LN1/LN2 inputs (``models.clip.vision_ln_z_amax``).
+    When given, the tree carries per-layer STATIC activation quant scales
+    (``ln_inv`` = 127/(amax*margin), with amax*margin/127 pre-folded into
+    the weight dequant scales) — the kernels then skip the per-row |x|max
+    reduction for the post-LN quantizations. Rows exceeding the
+    calibrated range clip; the margin plus the bench ranking certificate
+    gate the approximation.
+    """
+    heads = heads or {}
+    act_scales = act_scales or {}
+
+    def quant_blocks(blocks, n_heads=None, act=None):
+        if fold:
+            w_qkv = blocks["attn"]["w_qkv"].astype(jnp.float32)  # [L, 3E, E]
+            b_qkv = blocks["attn"]["b_qkv"].astype(jnp.float32)  # [L, 3E]
+            w_fc = blocks["mlp"]["c_fc"]["w"].astype(jnp.float32)
+            b_fc = blocks["mlp"]["c_fc"]["b"].astype(jnp.float32)
+            e = w_qkv.shape[-1]
+            g1 = blocks["ln_1"]["scale"].astype(jnp.float32)  # [L, E]
+            be1 = blocks["ln_1"]["bias"].astype(jnp.float32)
+            g2 = blocks["ln_2"]["scale"].astype(jnp.float32)
+            be2 = blocks["ln_2"]["bias"].astype(jnp.float32)
+            b_qkv = b_qkv + jnp.einsum("loe,le->lo", w_qkv, be1)
+            w_qkv = w_qkv * g1[:, None, :]
+            b_fc = b_fc + jnp.einsum("loe,le->lo", w_fc, be2)
+            w_fc = w_fc * g2[:, None, :]
+            # 1/sqrt(d) into the q third (weights + bias)
+            s = 1.0 / jnp.sqrt(jnp.float32(e // n_heads))
+            q_rows = (jnp.arange(w_qkv.shape[1]) < e)[None, :]
+            w_qkv = jnp.where(q_rows[..., None], w_qkv * s, w_qkv)
+            b_qkv = jnp.where(q_rows, b_qkv * s, b_qkv)
+            qkv_q = jax.vmap(quantize_weight)(w_qkv, b_qkv)
+            fc_q = jax.vmap(quantize_weight)(w_fc, b_fc)
+            tree = {
+                "attn": {
+                    "w_qkv": qkv_q,
+                    "w_out": jax.vmap(quantize_weight)(
+                        blocks["attn"]["w_out"], blocks["attn"]["b_out"]
+                    ),
+                },
+                "mlp": {
+                    "c_fc": fc_q,
+                    "c_proj": jax.vmap(quantize_weight)(
+                        blocks["mlp"]["c_proj"]["w"], blocks["mlp"]["c_proj"]["b"]
+                    ),
+                },
+            }
+            if act is not None:
+                a = jnp.asarray(act, jnp.float32) * act_margin  # [L, 2]
+                tree["attn"]["ln_inv"] = (127.0 / a[:, 0]).reshape(-1, 1, 1)
+                tree["mlp"]["ln_inv"] = (127.0 / a[:, 1]).reshape(-1, 1, 1)
+                # static activation scale folds into the weight dequant
+                tree["attn"]["w_qkv"] = qkv_q._replace(
+                    w_scale=qkv_q.w_scale * (a[:, 0] / 127.0)[:, None]
+                )
+                tree["mlp"]["c_fc"] = fc_q._replace(
+                    w_scale=fc_q.w_scale * (a[:, 1] / 127.0)[:, None]
+                )
+            return tree
         return {
             "attn": {
                 "w_qkv": jax.vmap(lambda w, b: quantize_weight(w, b))(
@@ -87,6 +162,10 @@ def quantize_clip_params(params: dict) -> dict:
         }
 
     return {
-        "visual": quant_blocks(params["visual"]["blocks"]),
-        "text": quant_blocks(params["text"]["blocks"]),
+        "visual": quant_blocks(
+            params["visual"]["blocks"], heads.get("visual"), act_scales.get("visual")
+        ),
+        "text": quant_blocks(
+            params["text"]["blocks"], heads.get("text"), act_scales.get("text")
+        ),
     }

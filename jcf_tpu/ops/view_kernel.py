@@ -100,11 +100,16 @@ def sample_view_centers(
 ):
     """Boxes -> per-view output-pixel centers + inverse supports, with the
     center crop as view 0 and horizontal flips folded into mirrored column
-    centers. Same box distribution as engine.sample_crop_boxes."""
+    centers. Same box distribution as engine.sample_crop_boxes.
+
+    ``key`` is either one PRNG key (split over the batch here) or a
+    pre-split [batch, 2] per-image key array — pre-splitting lets a DP
+    caller shard the keys over the batch axis (each shard must derive its
+    own images' crops, not re-derive the whole batch's)."""
     from jcf_tpu.infer.engine import sample_crop_boxes
 
     h_src, w_src = src_hw
-    keys = jax.random.split(key, batch)
+    keys = jax.random.split(key, batch) if key.ndim == 1 else key
     boxes, flips = jax.vmap(
         lambda k: sample_crop_boxes(k, n_views - 1, (h_src, w_src), scale)
     )(keys)  # [B, V-1, 4], [B, V-1]

@@ -25,6 +25,18 @@ from jcf_tpu.utils import get_logger
 logger = get_logger()
 
 
+def serving_mesh(cfg: PipelineConfig):
+    """A 1-D data-parallel mesh over all visible devices for the serving
+    pipelines (SURVEY.md §2.5), or None when DP is off / single-device."""
+    import jax
+
+    if not cfg.runtime.data_parallel or jax.device_count() <= 1:
+        return None
+    from jcf_tpu.parallel import make_mesh
+
+    return make_mesh(axis=cfg.runtime.mesh_axis)
+
+
 def compute_dtype(cfg: PipelineConfig):
     return jnp.bfloat16 if cfg.runtime.compute_dtype == "bfloat16" else jnp.float32
 

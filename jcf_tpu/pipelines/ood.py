@@ -23,6 +23,7 @@ from jcf_tpu.pipelines.common import (
     compute_dtype,
     ensure_templates,
     load_model_for_pipeline,
+    serving_mesh,
     stack_center_and_crops,
     tta_loader,
 )
@@ -39,6 +40,9 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
     data = walk_test_dir(cfg.data.test_dir)
     logger.info("OOD split over %d images (%d views/image)", len(data), cfg.tta.n_views)
 
+    mesh = serving_mesh(cfg)
+    if mesh is not None:
+        logger.info("data-parallel serving over %d devices", mesh.devices.size)
     engine = TTAEngine(
         params,
         mcfg,
@@ -47,6 +51,7 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
         n_views=cfg.tta.n_views,
         crop_scale=cfg.tta.crop_scale,
         quant=cfg.runtime.quant,
+        mesh=mesh,
     )
 
     base_path = os.path.join(cfg.data.root, "TestSetB_1.txt")

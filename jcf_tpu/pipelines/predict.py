@@ -44,6 +44,7 @@ from jcf_tpu.pipelines.common import (
     compute_dtype,
     ensure_templates,
     load_model_for_pipeline,
+    serving_mesh,
     stack_center_and_crops,
     tta_loader,
 )
@@ -112,9 +113,15 @@ def run_predict(cfg: PipelineConfig, results_dir: str = "final_results") -> dict
     )
     text_pt = l2_normalize((text_hand + pt_feats) / 2)
 
-    engine_pt = TTAEngine(params_merged, mcfg, dtype=dtype, impl=impl, n_views=cfg.tta.n_views)
-    engine_zs = TTAEngine(params_zs_merged, mcfg_zs, dtype=dtype, impl=impl, n_views=cfg.tta.n_views)
-    engine_ori = TTAEngine(params_ori, mcfg_ori, dtype=dtype, impl=impl, n_views=cfg.tta.n_views)
+    mesh = serving_mesh(cfg)
+    if mesh is not None:
+        logger.info("data-parallel serving over %d devices", mesh.devices.size)
+    engine_pt = TTAEngine(params_merged, mcfg, dtype=dtype, impl=impl,
+                          n_views=cfg.tta.n_views, mesh=mesh)
+    engine_zs = TTAEngine(params_zs_merged, mcfg_zs, dtype=dtype, impl=impl,
+                          n_views=cfg.tta.n_views, mesh=mesh)
+    engine_ori = TTAEngine(params_ori, mcfg_ori, dtype=dtype, impl=impl,
+                           n_views=cfg.tta.n_views, mesh=mesh)
 
     moco_fn = jax.jit(lambda x: resnet50_features(moco_params, x, dtype=dtype))
 

@@ -82,3 +82,76 @@ def test_fused_tower_int8_tracks_float():
         np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
     )
     assert cos.min() > 0.98, cos.min()
+
+
+def test_fused_tower_nomask_paired_epilogue():
+    """Even heads + no causal mask selects the mask-free paired epilogue
+    (zeroed pad keys, joint max, post-PV normalization — PERF.md r3);
+    S=17 is not a sublane multiple so pad-key masking is load-bearing."""
+    params = init_clip_params(5, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    ref = _composable_tower(params, "text", x, 2)
+    out = run_fused_tower(x, params["text"]["blocks"], 2, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_tower_int8_folded_matches_unfolded():
+    """fold=True bakes the LN affine + attention scale into the int8
+    weights (exact rewrites); with quant_folded=True the kernels skip
+    both. Checked against the unfolded int8 path and the float tower,
+    with and without a causal mask, on even heads (paired attention)."""
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(6, CFG)
+    q_plain = quantize_clip_params(params)
+    q_fold = quantize_clip_params(
+        params, fold=True, heads={"visual": 1, "text": 2}
+    )
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+
+    for mask in (None, causal_mask(17)):
+        ref = np.asarray(_composable_tower(params, "text", x, 2, mask))
+        out_plain = np.asarray(
+            run_fused_tower(x, params["text"]["blocks"], 2, mask,
+                            quant=q_plain["text"], interpret=True)
+        )
+        out_fold = np.asarray(
+            run_fused_tower(x, params["text"]["blocks"], 2, mask,
+                            quant=q_fold["text"], quant_folded=True,
+                            interpret=True)
+        )
+
+        def cos(a, b):
+            return (
+                (a * b).sum(-1)
+                / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
+            ).min()
+
+        assert cos(out_fold, ref) > 0.98, (mask is None, cos(out_fold, ref))
+        # folded and unfolded are the same quantized function up to the
+        # (re)quantization of the folded weights
+        assert cos(out_fold, out_plain) > 0.995, (mask is None, cos(out_fold, out_plain))
+
+
+def test_fused_tower_int8_mlp_nsplit(monkeypatch):
+    """_MLP_NSPLIT=2 (hidden-dim column blocks with per-block activation
+    scales) stays equivalent to the unsplit int8 tower."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(7, CFG)
+    q = quantize_clip_params(params)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    base = np.asarray(
+        run_fused_tower(x, params["text"]["blocks"], 2, None,
+                        quant=q["text"], interpret=True)
+    )
+    monkeypatch.setattr(bk, "_MLP_NSPLIT", 2)
+    split = np.asarray(
+        run_fused_tower(x, params["text"]["blocks"], 2, None,
+                        quant=q["text"], interpret=True)
+    )
+    cos = ((base * split).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(split, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.999, cos

@@ -112,3 +112,42 @@ def test_shard_batch_tree():
     sharded = shard_batch(tree, mesh)
     assert len(sharded["x"].sharding.device_set) == 8
     assert len(sharded["y"].sharding.device_set) == 8
+
+
+def test_engine_dp_matches_single_device():
+    """TTAEngine with a mesh (production DP serving wiring, VERDICT r2 #4)
+    equals the single-device engine exactly — including a batch that does
+    not divide the device count (pad + slice) and device-sampled crop RNG
+    (pre-split per-image keys)."""
+    from jcf_tpu.infer import TTAEngine
+
+    params = init_clip_params(0, TINY)
+    b = 10  # not a multiple of 8 -> exercises padding
+    images = jnp.asarray(RNG.standard_normal((b, 3, 48, 48)).astype(np.float32))
+    text = RNG.standard_normal((7, TINY.embed_dim)).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True))
+    key = jax.random.PRNGKey(3)
+
+    kw = dict(dtype=jnp.float32, impl="xla", n_views=3)
+    e1 = TTAEngine(params, TINY, **kw)
+    e8 = TTAEngine(params, TINY, mesh=make_mesh(), **kw)
+
+    single = np.asarray(e1.features_from_images(images, text, key))
+    multi = np.asarray(e8.features_from_images(images, text, key))
+    assert multi.shape == single.shape == (b, TINY.embed_dim)
+    np.testing.assert_allclose(multi, single, atol=1e-6)
+
+    crops = jnp.asarray(RNG.standard_normal((5, 4, 3, 32, 32)).astype(np.float32))
+    s = np.asarray(e1.features_from_crops(crops, text))
+    m = np.asarray(e8.features_from_crops(crops, text))
+    np.testing.assert_allclose(m, s, atol=1e-6)
+
+    # cached-feature entry points (predict pipeline path)
+    fs = np.asarray(e1.crop_features(crops))
+    fm = np.asarray(e8.crop_features(crops))
+    np.testing.assert_allclose(fm, fs, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(e8.mta_from_features(jnp.asarray(fs), text)),
+        np.asarray(e1.mta_from_features(jnp.asarray(fs), text)),
+        atol=1e-6,
+    )

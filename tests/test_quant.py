@@ -63,3 +63,43 @@ def test_int8_text_classifier_tracks_float():
     )
     cos = np.sum(w_f * w_q, axis=-1)  # rows are L2-normalized
     assert cos.min() > 0.99, cos
+
+
+def test_static_act_quant_tracks_dynamic():
+    """Calibrated static activation scales (fold=True + act_scales) track
+    the dynamic-quant fused tower and the float tower (interpret mode)."""
+    from jcf_tpu.models.clip import vision_ln_z_amax
+    from jcf_tpu.models import CLIPConfig
+    from jcf_tpu.ops.block_kernel import run_fused_tower
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=120,
+        text_width=128, text_heads=2, text_layers=2,
+    )
+    rng = np.random.default_rng(9)
+    params = init_clip_params(11, cfg)
+    images = jnp.asarray(rng.standard_normal((4, 3, 32, 32)).astype(np.float32))
+    amax = np.asarray(vision_ln_z_amax(params, cfg, images))
+    assert amax.shape == (2, 2) and (amax > 0).all()
+
+    heads = {"visual": 2, "text": 2}
+    q_dyn = quantize_clip_params(params, fold=True, heads=heads)
+    q_static = quantize_clip_params(
+        params, fold=True, heads=heads, act_scales={"visual": amax}
+    )
+    assert "ln_inv" in q_static["visual"]["attn"]
+
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)).astype(np.float32))
+    dyn = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q_dyn["visual"], quant_folded=True, interpret=True))
+    # static scales calibrated on DIFFERENT data than x -> clipping is
+    # possible but rare within the margin; rankings-level agreement
+    stat = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q_static["visual"], quant_folded=True, interpret=True))
+    cos = ((dyn * stat).sum(-1) / (
+        np.linalg.norm(dyn, axis=-1) * np.linalg.norm(stat, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.99, cos
