@@ -239,10 +239,10 @@ def main() -> None:
     cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "360"))
     t_start = time.perf_counter()
 
-    static_tag = "-static" if os.environ.get("JCF_BENCH_STATIC", "0") == "1" else ""
+    static_tag = "-static" if os.environ.get("JCF_BENCH_STATIC", "1") == "1" else ""
     embed_tag = (
         f"-{os.environ['JCF_BENCH_EMBED']}"
-        if os.environ.get("JCF_BENCH_EMBED", "dot6") != "dot6" else ""
+        if os.environ.get("JCF_BENCH_EMBED", "conv") != "conv" else ""
     )
     config_tag = f"b{batch}-v{n_views_total}-{quant or 'bf16'}{static_tag}{embed_tag}"
     khash = _kernel_hash(config_tag)
@@ -260,7 +260,7 @@ def main() -> None:
     images_np = rng.random((batch, 3, 256, 256)).astype(np.float32)
     # JCF_BENCH_STATIC=1: calibrate per-layer static activation quant
     # scales on the serving sample (engine does a one-time f32 pass)
-    static_act = os.environ.get("JCF_BENCH_STATIC", "0") == "1"
+    static_act = os.environ.get("JCF_BENCH_STATIC", "1") == "1"
     engine = TTAEngine(
         params,
         cfg,
@@ -269,7 +269,7 @@ def main() -> None:
         normalize_views=True,
         quant=quant,
         calibration_images=images_np if (static_act and quant) else None,
-        embed_impl=os.environ.get("JCF_BENCH_EMBED", "dot6"),
+        embed_impl=os.environ.get("JCF_BENCH_EMBED", "conv"),
     )
 
     images = jax.device_put(jnp.asarray(images_np).astype(jnp.bfloat16))

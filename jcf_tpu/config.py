@@ -105,6 +105,9 @@ class RuntimeConfig:
     compute_dtype: str = "float32"  # "bfloat16" for the perf path
     attention_impl: Optional[str] = None  # None = auto (pallas on TPU)
     quant: Optional[str] = None  # "int8" = W8A8 serving towers (certified)
+    # calibrate per-layer static activation quant scales on the first
+    # decoded batch (int8 fused path only; bench-certified)
+    static_quant: bool = False
     mesh_axis: str = "data"
     # shard serving image batches over all visible devices (params
     # replicated); single-device when only one device is visible
@@ -129,7 +132,8 @@ def perf_preset() -> PipelineConfig:
         base,
         tta=dataclasses.replace(base.tta, n_views=8, device_crops=True, batch_images=128),
         runtime=dataclasses.replace(
-            base.runtime, compute_dtype="bfloat16", quant="int8"
+            base.runtime, compute_dtype="bfloat16", quant="int8",
+            static_quant=True,
         ),
     )
 

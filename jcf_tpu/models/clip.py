@@ -306,17 +306,21 @@ def vision_ln_z_amax(
     cfg: CLIPConfig,
     images: jax.Array,  # [B, 3, 224, 224] calibration crops
 ) -> jax.Array:
-    """Per-layer amax of the Z-NORMALIZED LN1/LN2 inputs of the vision
-    tower over a calibration batch -> [L, 2] f32.
+    """Per-layer activation amax statistics of the vision tower over a
+    calibration batch -> [L, 4] f32 columns:
 
-    This is the activation statistic the static-scale int8 kernels need:
-    with the LN affine folded into the weights (quantize_clip_params
-    fold=True) the quantizer input is the plain z-scored row, whose range
-    is stable across tokens — a per-layer static scale replaces the
-    per-row |x|max reduction. Composable f32 forward, jit-able.
+      0: amax of the Z-NORMALIZED LN1 input (qkv quantizer input with the
+         LN affine folded into the weights)
+      1: amax of the z-normalized LN2 input (c_fc quantizer input)
+      2: amax of the attention context (out-proj quantizer input)
+      3: amax of the post-QuickGELU MLP hidden (c_proj quantizer input)
+
+    These are the statistics the static-scale int8 kernels consume: a
+    per-layer static scale replaces the per-row |x|max reduction at every
+    in-kernel quantization. Composable f32 forward, jit-able.
     """
     from jcf_tpu.ops.attention import multi_head_attention
-    from jcf_tpu.ops.layers import layer_norm, linear, mlp
+    from jcf_tpu.ops.layers import layer_norm, linear, quick_gelu
 
     v = params["visual"]
     x = linear(_patchify(images.astype(jnp.float32), cfg.vision_patch_size),
@@ -340,17 +344,29 @@ def vision_ln_z_amax(
     for i in range(n_layers):
         layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
         a1 = z_amax(x)
-        x = x + multi_head_attention(
+        ctx = multi_head_attention(
             layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"]),
             layer["attn"], cfg.vision_heads, None, impl="xla",
+            return_pre_proj=True,
+        )
+        a_ctx = jnp.max(jnp.abs(ctx))
+        x = x + (
+            jnp.einsum("bse,oe->bso", ctx, layer["attn"]["w_out"])
+            + layer["attn"]["b_out"]
         )
         a2 = z_amax(x)
-        x = x + mlp(
-            layer_norm(x, layer["ln_2"]["scale"], layer["ln_2"]["bias"]),
-            layer["mlp"],
+        h = layer_norm(x, layer["ln_2"]["scale"], layer["ln_2"]["bias"])
+        hidden = quick_gelu(
+            jnp.einsum("bse,he->bsh", h, layer["mlp"]["c_fc"]["w"])
+            + layer["mlp"]["c_fc"]["b"]
         )
-        rows.append(jnp.stack([a1, a2]))
-    return jnp.stack(rows)  # [L, 2]
+        a_h = jnp.max(jnp.abs(hidden))
+        x = x + (
+            jnp.einsum("bsh,oh->bso", hidden, layer["mlp"]["c_proj"]["w"])
+            + layer["mlp"]["c_proj"]["b"]
+        )
+        rows.append(jnp.stack([a1, a2, a_ctx, a_h]))
+    return jnp.stack(rows)  # [L, 4]
 
 
 def _patchify(images: jax.Array, patch: int) -> jax.Array:

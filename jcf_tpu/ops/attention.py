@@ -273,6 +273,7 @@ def multi_head_attention(
     impl: str | None = None,
     lora: "dict | None" = None,
     quant: "dict | None" = None,
+    return_pre_proj: bool = False,  # context BEFORE the out projection
 ) -> jax.Array:
     """Self-attention block over batch-first [B, S, E] activations.
 
@@ -312,6 +313,8 @@ def multi_head_attention(
         q, k, v = (jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3))  # [B, H, S, D]
         out = fused_attention(q, k, v, mask, impl=impl)
         out = jnp.moveaxis(out, 1, 2).reshape(b, s, e)
+    if return_pre_proj:
+        return out
     if quant is not None:
         from jcf_tpu.ops.quant import int8_linear
 

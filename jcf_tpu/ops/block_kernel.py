@@ -203,23 +203,57 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
         v2 = jnp.concatenate(
             [jnp.where(lo_mask, vp, zero), jnp.where(hi_mask, vp, zero)], axis=1
         )
-        scores = jax.lax.dot_general(
-            qp, k2, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [G, S, 2S] = [lo | hi]
+        if _INT8_ATTN:
+            q32 = qp.astype(jnp.float32)
+            k32 = k2.astype(jnp.float32)
+            q_am = jnp.maximum(jnp.max(jnp.abs(q32), -1, keepdims=True), 1e-8)
+            k_am = jnp.maximum(jnp.max(jnp.abs(k32), -1, keepdims=True), 1e-8)
+            q_q = jnp.clip(jnp.round(q32 * (127.0 / q_am)), -127, 127).astype(jnp.int8)
+            k_q = jnp.clip(jnp.round(k32 * (127.0 / k_am)), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                q_q, k_q, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            scores = (
+                acc.astype(jnp.float32)
+                * (q_am * (1.0 / 127.0))
+                * (jnp.swapaxes(k_am, 1, 2) * (1.0 / 127.0))
+            )
+        else:
+            scores = jax.lax.dot_general(
+                qp, k2, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [G, S, 2S] = [lo | hi]
         if scale is not None:
             scores = scores * scale
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
-        pc = p.astype(v2.dtype)
-        ctx_u = jax.lax.dot_general(
-            pc, v2, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [G, S, 2D] unnormalized [ctx_lo | ctx_hi]
-        sums = jax.lax.dot_general(
-            pc, sel.astype(v2.dtype), (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [G, S, 2D] — normalizers already lane-broadcast
+        if _INT8_ATTN:
+            # p's row max is exactly 1 -> static scale 127; one scalar
+            # per-tile v scale keeps the dequant a single multiply
+            p_q = jnp.round(p * 127.0).astype(jnp.int8)
+            v32 = v2.astype(jnp.float32)
+            v_am = jnp.maximum(jnp.max(jnp.abs(v32)), 1e-8)
+            v_q = jnp.clip(jnp.round(v32 * (127.0 / v_am)), -127, 127).astype(jnp.int8)
+            ctx_u = jax.lax.dot_general(
+                p_q, v_q, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (v_am / (127.0 * 127.0))
+            sums = jax.lax.dot_general(
+                p_q.astype(jnp.bfloat16), sel.astype(jnp.bfloat16),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / 127.0)
+        else:
+            pc = p.astype(v2.dtype)
+            ctx_u = jax.lax.dot_general(
+                pc, v2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [G, S, 2D] unnormalized [ctx_lo | ctx_hi]
+            sums = jax.lax.dot_general(
+                pc, sel.astype(v2.dtype), (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [G, S, 2D] — normalizers already lane-broadcast
         ctx.append(ctx_u * (1.0 / jnp.maximum(sums, 1e-30)))
     return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
 
@@ -326,10 +360,12 @@ def _attn_half_kernel(
 
 
 def _attn_half_int8_kernel(
-    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
+    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, ctx_inv_ref,
+    wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
     wout_i8_ref, wout_sc_ref, bout_ref, bias_ref, out_ref,
     *, n_heads, head_dim, scale, group, s_pad,
     s_real=None, use_mask=True, folded=False, static_act=False,
+    static_ctx=False,
 ):
     e = n_heads * head_dim
     bias = bias_ref[...]
@@ -356,7 +392,10 @@ def _attn_half_int8_kernel(
             qkv, bias, n_heads, head_dim, None if folded else scale,
             g_sub, s_pad, s_real=s_real, use_mask=use_mask,
         )
-        c_q, c_sc = _quant_rows(ctx)
+        if static_ctx:
+            c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
+        else:
+            c_q, c_sc = _quant_rows(ctx)
         proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
         outs.append(r.astype(jnp.float32) + proj)
     out = outs[0] if n_sub == 1 else jnp.concatenate(outs, axis=0)
@@ -364,9 +403,10 @@ def _attn_half_int8_kernel(
 
 
 def _mlp_half_int8_kernel(
-    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, wfc_i8_ref, wfc_sc_ref, bfc_ref,
+    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, h_inv_ref,
+    wfc_i8_ref, wfc_sc_ref, bfc_ref,
     wproj_i8_ref, wproj_sc_ref, bproj_ref, out_ref,
-    *, group, s_pad, folded=False, static_act=False,
+    *, group, s_pad, folded=False, static_act=False, static_h=False,
 ):
     e = x_ref.shape[-1]
     hidden_dim = wfc_i8_ref.shape[0]
@@ -397,11 +437,16 @@ def _mlp_half_int8_kernel(
                 x_q, x_sc, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl]
             )
             hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU, f32
-            h_q, h_sc = _quant_rows(hidden)
+            if static_h:
+                h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
+            else:
+                h_q, h_sc = _quant_rows(hidden)
             part = jax.lax.dot_general(
                 h_q, wproj_i8_ref[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * h_sc * wproj_sc_ref[...].astype(jnp.float32)
+            ).astype(jnp.float32) * wproj_sc_ref[...].astype(jnp.float32)
+            if h_sc is not None:
+                part = part * h_sc
             acc = part if acc is None else acc + part
         proj = acc + bproj_ref[...].astype(jnp.float32)
         outs.append(r.astype(jnp.float32) + proj)
@@ -534,13 +579,19 @@ def _pick_group(b: int, target: int = 8) -> int:
 # everything resident AND double-buffer the activation tiles.
 _VMEM_LIMIT = 100 * 1024 * 1024
 _GROUP_TARGET = 16
+# Optional per-half group overrides (None = _GROUP_TARGET). The MLP half
+# holds a [G*S, 3072] f32 hidden in VMEM (G=32 overflows); the attention
+# half's tensors are ~4x smaller, so a larger G can amortize fixed costs.
+_GROUP_ATTN = None
+_GROUP_MLP = None
 _FUSE = "halves"  # "halves": attn + mlp kernels; "block": one kernel/layer
 _ATTN_STUB = False  # debug: bypass attention math (perf attribution only)
-# Split each tile into independent row-block chains: with >1 chains the
-# Mosaic scheduler can overlap one chain's VPU epilogue (rescale / GELU /
-# requant) with the other's MXU GEMMs — the int8 tower's gap to the GEMM
-# roofline is exactly that serial VPU tail (PERF.md).
-_SUBTILES = 2
+# Split each tile into independent row-block chains so the Mosaic
+# scheduler can overlap one chain's VPU epilogue with the other's MXU
+# GEMMs. With the r2 masked epilogue 2 chains won; the r3 mask-free
+# epilogue + LN folding shrank the VPU tail enough that the split's extra
+# copies now lose (38.47 ms at 1 vs 38.86 at 2 — PERF.md r3 sweep).
+_SUBTILES = 1
 # Two heads per MXU pass (zero-masked K/V stacking, exact): full 128-lane
 # contraction and half the dot_general count vs the per-head loop.
 _PAIR_HEADS = True
@@ -551,6 +602,11 @@ _MLP_NSPLIT = 1
 # Use the mask-free paired softmax epilogue for no-causal-mask towers
 # (joint max + post-PV normalization); False = additive-bias masked path.
 _NOMASK_EPILOGUE = True
+# int8 the attention inner GEMMs (scores: per-row dynamic q/k; PV: static
+# 127 on p — row max is exactly 1 — and one per-tile v scale). A/B knob
+# (VERDICT r2 #7): the inner GEMMs are ~2 ms of bf16 content per tower,
+# so this trades ~1 ms of MXU for several dequant/quant VPU passes.
+_INT8_ATTN = False
 # Sequence padding multiple. 8 is the f32 sublane tile; 16 aligns per-crop
 # row blocks to the bf16 sublane tile (S=50 -> 64), trading ~14% more GEMM
 # rows for relayout-free [G, S, D] views inside the attention section.
@@ -563,40 +619,46 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
     b, s_pad, e = x.shape
     d = e // n_heads
     precision = _HI if x.dtype == jnp.float32 else None
-    group = _pick_group(b, _GROUP_TARGET)
+    group_a = _pick_group(b, _GROUP_ATTN or _GROUP_TARGET)
+    group_m = _pick_group(b, _GROUP_MLP or _GROUP_TARGET)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
 
     def full(shape):
         return vmem(shape, lambda i: tuple(0 for _ in shape))
 
-    tile = vmem((group, s_pad, e), lambda i: (i, 0, 0))
-    common = dict(
-        grid=(b // group,),
-        out_specs=tile,
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, e), x.dtype),
-        # f32 halves (cert/reference runs) exceed the 16MB scoped-vmem
-        # default (c_fc+c_proj f32 ~19MB); raise the cap like the
-        # whole-block variant does
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )
+    def tile_common(group):
+        tile = vmem((group, s_pad, e), lambda i: (i, 0, 0))
+        return tile, dict(
+            grid=(b // group,),
+            out_specs=tile,
+            out_shape=jax.ShapeDtypeStruct((b, s_pad, e), x.dtype),
+            # f32 halves (cert/reference runs) exceed the 16MB scoped-vmem
+            # default (c_fc+c_proj f32 ~19MB); raise the cap like the
+            # whole-block variant does
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )
 
     if quant_layer is not None:
         hidden_dim = quant_layer["mlp"]["c_fc"].w_int8.shape[0]
         static_act = "ln_inv" in quant_layer["attn"]
-        ln1_inv = quant_layer["attn"].get("ln_inv")
-        ln2_inv = quant_layer["mlp"].get("ln_inv")
-        if ln1_inv is None:
-            ln1_inv = ln2_inv = jnp.ones((1, 1), jnp.float32)
+        static_ctx = "ctx_inv" in quant_layer["attn"]
+        static_h = "h_inv" in quant_layer["mlp"]
+        ones11 = jnp.ones((1, 1), jnp.float32)
+        ln1_inv = quant_layer["attn"].get("ln_inv", ones11)
+        ln2_inv = quant_layer["mlp"].get("ln_inv", ones11)
+        ctx_inv = quant_layer["attn"].get("ctx_inv", ones11)
+        h_inv = quant_layer["mlp"].get("h_inv", ones11)
+        tile, common = tile_common(group_a)
         x = pl.pallas_call(
             functools.partial(
                 _attn_half_int8_kernel, n_heads=n_heads, head_dim=d,
-                scale=1.0 / math.sqrt(d), group=group, s_pad=s_pad,
+                scale=1.0 / math.sqrt(d), group=group_a, s_pad=s_pad,
                 s_real=s_real, use_mask=use_mask, folded=quant_folded,
-                static_act=static_act,
+                static_act=static_act, static_ctx=static_ctx,
             ),
             in_specs=[
-                tile, full((e,)), full((e,)), full((1, 1)),
+                tile, full((e,)), full((e,)), full((1, 1)), full((1, 1)),
                 full((3 * e, e)), full((3 * e,)), full((3 * e,)),
                 full((e, e)), full((e,)), full((e,)),
                 full((s_pad, s_pad)),
@@ -605,18 +667,20 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         )(
             x,
             params["ln_1"]["scale"].astype(x.dtype), params["ln_1"]["bias"].astype(x.dtype),
-            ln1_inv,
+            ln1_inv, ctx_inv,
             quant_layer["attn"]["w_qkv"].w_int8, quant_layer["attn"]["w_qkv"].w_scale,
             quant_layer["attn"]["w_qkv"].bias,
             quant_layer["attn"]["w_out"].w_int8, quant_layer["attn"]["w_out"].w_scale,
             quant_layer["attn"]["w_out"].bias,
             bias,
         )
+        tile, common = tile_common(group_m)
         return pl.pallas_call(
-            functools.partial(_mlp_half_int8_kernel, group=group, s_pad=s_pad,
-                              folded=quant_folded, static_act=static_act),
+            functools.partial(_mlp_half_int8_kernel, group=group_m, s_pad=s_pad,
+                              folded=quant_folded, static_act=static_act,
+                              static_h=static_h),
             in_specs=[
-                tile, full((e,)), full((e,)), full((1, 1)),
+                tile, full((e,)), full((e,)), full((1, 1)), full((1, 1)),
                 full((hidden_dim, e)), full((hidden_dim,)), full((hidden_dim,)),
                 full((e, hidden_dim)), full((e,)), full((e,)),
             ],
@@ -624,7 +688,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         )(
             x,
             params["ln_2"]["scale"].astype(x.dtype), params["ln_2"]["bias"].astype(x.dtype),
-            ln2_inv,
+            ln2_inv, h_inv,
             quant_layer["mlp"]["c_fc"].w_int8, quant_layer["mlp"]["c_fc"].w_scale,
             quant_layer["mlp"]["c_fc"].bias,
             quant_layer["mlp"]["c_proj"].w_int8, quant_layer["mlp"]["c_proj"].w_scale,
@@ -632,10 +696,11 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         )
 
     hidden_dim = params["mlp"]["c_fc"]["w"].shape[0]
+    tile, common = tile_common(group_a)
     x = pl.pallas_call(
         functools.partial(
             _attn_half_kernel, n_heads=n_heads, head_dim=d,
-            scale=1.0 / math.sqrt(d), precision=precision, group=group,
+            scale=1.0 / math.sqrt(d), precision=precision, group=group_a,
             s_pad=s_pad, s_real=s_real, use_mask=use_mask,
         ),
         in_specs=[
@@ -652,9 +717,10 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         params["attn"]["w_out"].astype(x.dtype), params["attn"]["b_out"].astype(jnp.float32),
         bias,
     )
+    tile, common = tile_common(group_m)
     return pl.pallas_call(
         functools.partial(
-            _mlp_half_kernel, precision=precision, group=group, s_pad=s_pad
+            _mlp_half_kernel, precision=precision, group=group_m, s_pad=s_pad
         ),
         in_specs=[
             tile, full((e,)), full((e,)),

@@ -131,7 +131,7 @@ def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
                 },
             }
             if act is not None:
-                a = jnp.asarray(act, jnp.float32) * act_margin  # [L, 2]
+                a = jnp.asarray(act, jnp.float32) * act_margin  # [L, 2|4]
                 tree["attn"]["ln_inv"] = (127.0 / a[:, 0]).reshape(-1, 1, 1)
                 tree["mlp"]["ln_inv"] = (127.0 / a[:, 1]).reshape(-1, 1, 1)
                 # static activation scale folds into the weight dequant
@@ -141,6 +141,21 @@ def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
                 tree["mlp"]["c_fc"] = fc_q._replace(
                     w_scale=fc_q.w_scale * (a[:, 1] / 127.0)[:, None]
                 )
+                if a.shape[1] >= 4:
+                    # static ctx (attention out-proj input) and post-GELU
+                    # hidden (c_proj input) scales; wider margin — their
+                    # per-row amax varies more than z-scored LN inputs
+                    ah = a[:, 2:4] * (1.10 / act_margin)
+                    tree["attn"]["ctx_inv"] = (127.0 / ah[:, 0]).reshape(-1, 1, 1)
+                    tree["mlp"]["h_inv"] = (127.0 / ah[:, 1]).reshape(-1, 1, 1)
+                    tree["attn"]["w_out"] = tree["attn"]["w_out"]._replace(
+                        w_scale=tree["attn"]["w_out"].w_scale
+                        * (ah[:, 0] / 127.0)[:, None]
+                    )
+                    tree["mlp"]["c_proj"] = tree["mlp"]["c_proj"]._replace(
+                        w_scale=tree["mlp"]["c_proj"].w_scale
+                        * (ah[:, 1] / 127.0)[:, None]
+                    )
             return tree
         return {
             "attn": {

@@ -43,16 +43,21 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
     mesh = serving_mesh(cfg)
     if mesh is not None:
         logger.info("data-parallel serving over %d devices", mesh.devices.size)
-    engine = TTAEngine(
-        params,
-        mcfg,
-        dtype=compute_dtype(cfg),
-        impl=cfg.runtime.attention_impl,
-        n_views=cfg.tta.n_views,
-        crop_scale=cfg.tta.crop_scale,
-        quant=cfg.runtime.quant,
-        mesh=mesh,
-    )
+
+    def build_engine(calibration_images=None):
+        return TTAEngine(
+            params,
+            mcfg,
+            dtype=compute_dtype(cfg),
+            impl=cfg.runtime.attention_impl,
+            n_views=cfg.tta.n_views,
+            crop_scale=cfg.tta.crop_scale,
+            quant=cfg.runtime.quant,
+            mesh=mesh,
+            calibration_images=calibration_images,
+        )
+
+    engine = None if cfg.runtime.static_quant and cfg.tta.device_crops else build_engine()
 
     base_path = os.path.join(cfg.data.root, "TestSetB_1.txt")
     new_path = os.path.join(cfg.data.root, "TestSetB_2.txt")
@@ -102,6 +107,11 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
                         impaths, images = fut.result()
                     if i + 1 < len(chunks):
                         fut = pool.submit(decode, chunks[i + 1])
+                    if engine is None:
+                        # static activation quant: calibrate the
+                        # per-layer scales on the first decoded batch
+                        # (runtime.static_quant)
+                        engine = build_engine(calibration_images=images)
                     with timer.phase("tta_batch"):
                         key, sub = jax.random.split(key)
                         modes = engine.features_from_images(

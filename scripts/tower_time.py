@@ -19,6 +19,11 @@ def main():
     bk._MLP_NSPLIT = int(os.environ.get("JCF_MLP_NSPLIT", "1"))
     bk._SUBTILES = int(os.environ.get("JCF_SUBTILES", "2"))
     bk._NOMASK_EPILOGUE = os.environ.get("JCF_NOMASK_EPI", "1") == "1"
+    bk._INT8_ATTN = os.environ.get("JCF_INT8_ATTN", "0") == "1"
+    if os.environ.get("JCF_GROUP_ATTN"):
+        bk._GROUP_ATTN = int(os.environ["JCF_GROUP_ATTN"])
+    if os.environ.get("JCF_GROUP_MLP"):
+        bk._GROUP_MLP = int(os.environ["JCF_GROUP_MLP"])
 
     from jcf_tpu.models import VIT_B_32, init_clip_params
     from jcf_tpu.ops.quant import quantize_clip_params
@@ -52,7 +57,8 @@ def main():
     t = (time.perf_counter() - t0) / 20 * 1e3
     print(f"group={bk._GROUP_TARGET} vmem={bk._VMEM_LIMIT>>20}MB quant={quant} "
           f"fold={int(fold)} fuse={bk._FUSE} sub={bk._SUBTILES} "
-          f"nsplit={bk._MLP_NSPLIT} nomask_epi={int(bk._NOMASK_EPILOGUE)}: "
+          f"nsplit={bk._MLP_NSPLIT} nomask_epi={int(bk._NOMASK_EPILOGUE)} "
+          f"i8attn={int(bk._INT8_ATTN)} ga={bk._GROUP_ATTN} gm={bk._GROUP_MLP}: "
           f"tower {t:.2f} ms")
 
 

@@ -27,11 +27,14 @@ def main():
 
     cfg = VIT_B_32
     params = init_clip_params(0, cfg)
-    engine = TTAEngine(params, cfg, dtype=jnp.bfloat16, n_views=7,
-                       normalize_views=True, quant="int8")
     rng = np.random.default_rng(0)
-    images = jax.device_put(jnp.asarray(
-        rng.random((128, 3, 256, 256)).astype(np.float32)).astype(jnp.bfloat16))
+    images_np = rng.random((128, 3, 256, 256)).astype(np.float32)
+    engine = TTAEngine(params, cfg, dtype=jnp.bfloat16, n_views=7,
+                       normalize_views=True, quant="int8",
+                       calibration_images=(
+                           images_np if os.environ.get("JCF_TRACE_STATIC", "1") == "1"
+                           else None))
+    images = jax.device_put(jnp.asarray(images_np).astype(jnp.bfloat16))
     text = rng.standard_normal((403, cfg.embed_dim)).astype(np.float32)
     text = jax.device_put(jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True)))
 

@@ -155,3 +155,23 @@ def test_fused_tower_int8_mlp_nsplit(monkeypatch):
         np.linalg.norm(base, axis=-1) * np.linalg.norm(split, axis=-1) + 1e-9
     )).min()
     assert cos > 0.999, cos
+
+
+def test_fused_tower_int8_attention_inner(monkeypatch):
+    """_INT8_ATTN quantizes the paired-attention scores/PV GEMMs; must
+    stay rankings-equivalent to the bf16-inner int8 tower."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(8, CFG)
+    q = quantize_clip_params(params)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                      quant=q["text"], interpret=True))
+    monkeypatch.setattr(bk, "_INT8_ATTN", True)
+    i8 = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                    quant=q["text"], interpret=True))
+    cos = ((base * i8).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(i8, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.99, cos

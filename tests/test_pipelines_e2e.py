@@ -327,3 +327,19 @@ def test_ood_data_parallel_byte_identical(workspace):
         single = run(False, device_crops)
         multi = run(True, device_crops)
         assert multi == single, f"device_crops={device_crops}"
+
+
+def test_ood_perf_static_quant_path(workspace):
+    """runtime.static_quant=True (the perf preset default): the pipeline
+    calibrates on the first decoded batch; on non-TPU backends the engine
+    ignores calibration (no folding) — path must still run end-to-end."""
+    root, cfg = workspace
+    cfg_perf = dataclasses.replace(
+        cfg,
+        tta=dataclasses.replace(cfg.tta, device_crops=True, batch_images=2),
+        runtime=dataclasses.replace(cfg.runtime, quant="int8", static_quant=True),
+    )
+    from jcf_tpu.pipelines import run_ood_split
+
+    out = run_ood_split(cfg_perf)
+    assert out["n_base"] + out["n_new"] == 4

@@ -81,7 +81,8 @@ def test_static_act_quant_tracks_dynamic():
     params = init_clip_params(11, cfg)
     images = jnp.asarray(rng.standard_normal((4, 3, 32, 32)).astype(np.float32))
     amax = np.asarray(vision_ln_z_amax(params, cfg, images))
-    assert amax.shape == (2, 2) and (amax > 0).all()
+    # columns: ln1-z, ln2-z, attention ctx, post-GELU hidden
+    assert amax.shape == (2, 4) and (amax > 0).all()
 
     heads = {"visual": 2, "text": 2}
     q_dyn = quantize_clip_params(params, fold=True, heads=heads)
@@ -89,6 +90,8 @@ def test_static_act_quant_tracks_dynamic():
         params, fold=True, heads=heads, act_scales={"visual": amax}
     )
     assert "ln_inv" in q_static["visual"]["attn"]
+    assert "ctx_inv" in q_static["visual"]["attn"]
+    assert "h_inv" in q_static["visual"]["mlp"]
 
     x = jnp.asarray(rng.standard_normal((4, 17, 64)).astype(np.float32))
     dyn = np.asarray(run_fused_tower(
