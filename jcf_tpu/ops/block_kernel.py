@@ -483,36 +483,60 @@ def _mlp_half_kernel(
 
 
 def _block_int8_kernel(
-    x_ref, ln1_s_ref, ln1_b_ref, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
-    wout_i8_ref, wout_sc_ref, bout_ref, ln2_s_ref, ln2_b_ref,
+    x_ref, ln1_s_ref, ln1_b_ref, ln1_inv_ref, ctx_inv_ref,
+    wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
+    wout_i8_ref, wout_sc_ref, bout_ref,
+    ln2_s_ref, ln2_b_ref, ln2_inv_ref, h_inv_ref,
     wfc_i8_ref, wfc_sc_ref, bfc_ref, wproj_i8_ref, wproj_sc_ref, bproj_ref,
     bias_ref, out_ref,
     *, n_heads, head_dim, scale, group, s_pad,
+    s_real=None, use_mask=True, folded=False, static_act=False,
+    static_ctx=False, static_h=False,
 ):
     """One whole transformer block, int8 W8A8: the residual stream never
-    leaves VMEM between the attention and MLP halves."""
+    leaves VMEM between the attention and MLP halves. Supports the same
+    folded/static-quant/mask-free options as the halves kernels."""
     e = n_heads * head_dim
     gs = group * s_pad
 
     rows = x_ref[...].reshape(gs, e)
-    h_ln = _ln_rows(rows, ln1_s_ref[...], ln1_b_ref[...])
-    x_q, x_sc = _quant_rows(h_ln)
+    h_ln = (
+        _ln_norm(rows) if folded
+        else _ln_rows(rows, ln1_s_ref[...], ln1_b_ref[...])
+    )
+    if static_act:
+        x_q, x_sc = _quant_rows_static(h_ln, ln1_inv_ref[0, 0]), None
+    else:
+        x_q, x_sc = _quant_rows(h_ln)
     qkv = _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref).astype(
         jnp.bfloat16
     )
     ctx = _batched_attention(
-        qkv, bias_ref[...], n_heads, head_dim, scale, group, s_pad
+        qkv, bias_ref[...], n_heads, head_dim, None if folded else scale,
+        group, s_pad, s_real=s_real, use_mask=use_mask,
     )
-    c_q, c_sc = _quant_rows(ctx)
+    if static_ctx:
+        c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
+    else:
+        c_q, c_sc = _quant_rows(ctx)
     mid = rows.astype(jnp.float32) + _int8_gemm(
         c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref
     )
 
-    h2 = _ln_rows(mid, ln2_s_ref[...], ln2_b_ref[...])
-    q2, s2 = _quant_rows(h2)
+    h2 = (
+        _ln_norm(mid) if folded
+        else _ln_rows(mid, ln2_s_ref[...], ln2_b_ref[...])
+    )
+    if static_act:
+        q2, s2 = _quant_rows_static(h2, ln2_inv_ref[0, 0]), None
+    else:
+        q2, s2 = _quant_rows(h2)
     hidden = _int8_gemm(q2, s2, wfc_i8_ref, wfc_sc_ref, bfc_ref)
     hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU in f32
-    h_q, h_sc = _quant_rows(hidden)
+    if static_h:
+        h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
+    else:
+        h_q, h_sc = _quant_rows(hidden)
     out = mid + _int8_gemm(h_q, h_sc, wproj_i8_ref, wproj_sc_ref, bproj_ref)
     out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
 
@@ -760,7 +784,6 @@ def fused_block(
                              s_real=s_real, use_mask=use_mask,
                              quant_folded=quant_folded)
 
-    assert not quant_folded, "folded quant is only wired into the halves kernels"
     b, s_pad, e = x.shape
     d = e // n_heads
     precision = _HI if x.dtype == jnp.float32 else None
@@ -773,18 +796,25 @@ def fused_block(
 
     if quant_layer is not None:
         hidden_dim = quant_layer["mlp"]["c_fc"].w_int8.shape[0]
+        static_act = "ln_inv" in quant_layer["attn"]
+        static_ctx = "ctx_inv" in quant_layer["attn"]
+        static_h = "h_inv" in quant_layer["mlp"]
+        ones11 = jnp.ones((1, 1), jnp.float32)
         return pl.pallas_call(
             functools.partial(
                 _block_int8_kernel, n_heads=n_heads, head_dim=d,
                 scale=1.0 / math.sqrt(d), group=group, s_pad=s_pad,
+                s_real=s_real, use_mask=use_mask, folded=quant_folded,
+                static_act=static_act, static_ctx=static_ctx,
+                static_h=static_h,
             ),
             grid=(b // group,),
             in_specs=[
                 vmem((group, s_pad, e), lambda i: (i, 0, 0)),
-                full((e,)), full((e,)),
+                full((e,)), full((e,)), full((1, 1)), full((1, 1)),
                 full((3 * e, e)), full((3 * e,)), full((3 * e,)),
                 full((e, e)), full((e,)), full((e,)),
-                full((e,)), full((e,)),
+                full((e,)), full((e,)), full((1, 1)), full((1, 1)),
                 full((hidden_dim, e)), full((hidden_dim,)), full((hidden_dim,)),
                 full((e, hidden_dim)), full((e,)), full((e,)),
                 full((s_pad, s_pad)),
@@ -796,11 +826,15 @@ def fused_block(
         )(
             x,
             params["ln_1"]["scale"].astype(x.dtype), params["ln_1"]["bias"].astype(x.dtype),
+            quant_layer["attn"].get("ln_inv", ones11),
+            quant_layer["attn"].get("ctx_inv", ones11),
             quant_layer["attn"]["w_qkv"].w_int8, quant_layer["attn"]["w_qkv"].w_scale,
             quant_layer["attn"]["w_qkv"].bias,
             quant_layer["attn"]["w_out"].w_int8, quant_layer["attn"]["w_out"].w_scale,
             quant_layer["attn"]["w_out"].bias,
             params["ln_2"]["scale"].astype(x.dtype), params["ln_2"]["bias"].astype(x.dtype),
+            quant_layer["mlp"].get("ln_inv", ones11),
+            quant_layer["mlp"].get("h_inv", ones11),
             quant_layer["mlp"]["c_fc"].w_int8, quant_layer["mlp"]["c_fc"].w_scale,
             quant_layer["mlp"]["c_fc"].bias,
             quant_layer["mlp"]["c_proj"].w_int8, quant_layer["mlp"]["c_proj"].w_scale,

@@ -116,12 +116,16 @@ def run_predict(cfg: PipelineConfig, results_dir: str = "final_results") -> dict
     mesh = serving_mesh(cfg)
     if mesh is not None:
         logger.info("data-parallel serving over %d devices", mesh.devices.size)
+    # runtime.quant applies to the crop towers here too (the dominant
+    # cost: 513 crop-forwards x 2 towers per image, test.py:1705-1713);
+    # the certified int8 serving mode is opt-in like in the OOD pipeline
+    quant = cfg.runtime.quant
     engine_pt = TTAEngine(params_merged, mcfg, dtype=dtype, impl=impl,
-                          n_views=cfg.tta.n_views, mesh=mesh)
+                          n_views=cfg.tta.n_views, mesh=mesh, quant=quant)
     engine_zs = TTAEngine(params_zs_merged, mcfg_zs, dtype=dtype, impl=impl,
-                          n_views=cfg.tta.n_views, mesh=mesh)
+                          n_views=cfg.tta.n_views, mesh=mesh, quant=quant)
     engine_ori = TTAEngine(params_ori, mcfg_ori, dtype=dtype, impl=impl,
-                           n_views=cfg.tta.n_views, mesh=mesh)
+                           n_views=cfg.tta.n_views, mesh=mesh, quant=quant)
 
     moco_fn = jax.jit(lambda x: resnet50_features(moco_params, x, dtype=dtype))
 

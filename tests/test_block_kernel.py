@@ -175,3 +175,38 @@ def test_fused_tower_int8_attention_inner(monkeypatch):
         np.linalg.norm(base, axis=-1) * np.linalg.norm(i8, axis=-1) + 1e-9
     )).min()
     assert cos > 0.99, cos
+
+
+def test_whole_block_int8_matches_halves(monkeypatch):
+    """_FUSE='block' (single whole-block kernel) now supports the folded
+    + static-quant options; bit-identical to the halves kernels in
+    interpret mode. (Perf: measured SLOWER than halves on v5e at every
+    tried G — PERF.md r3 — so halves stay the default; this pins the
+    capability.)"""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.models.clip import vision_ln_z_amax
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=120,
+        text_width=128, text_heads=2, text_layers=2,
+    )
+    rng = np.random.default_rng(23)
+    params = init_clip_params(12, cfg)
+    amax = np.asarray(vision_ln_z_amax(
+        params, cfg, jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32))
+    ))
+    q = quantize_clip_params(
+        params, fold=True, heads={"visual": 2, "text": 2},
+        act_scales={"visual": amax},
+    )
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)).astype(np.float32))
+    halves = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q["visual"], quant_folded=True, interpret=True))
+    monkeypatch.setattr(bk, "_FUSE", "block")
+    block = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q["visual"], quant_folded=True, interpret=True))
+    np.testing.assert_allclose(block, halves, atol=1e-5)

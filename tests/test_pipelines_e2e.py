@@ -343,3 +343,21 @@ def test_ood_perf_static_quant_path(workspace):
 
     out = run_ood_split(cfg_perf)
     assert out["n_base"] + out["n_new"] == 4
+
+
+def test_predict_int8_towers(workspace):
+    """runtime.quant="int8" routes the predict pipeline's three crop
+    towers through the quantized path (same opt-in as OOD); result file
+    contract unchanged."""
+    root, cfg = workspace
+    if not os.path.exists(os.path.join(cfg.stage2.out_dir, "clip_model.pkl")):
+        pytest.skip("needs the stage-2 artifacts from test_full_pipeline_sequence")
+    cfg_q = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, quant="int8")
+    )
+    from jcf_tpu.pipelines import run_predict
+
+    out = run_predict(cfg_q, results_dir="final_results_int8")
+    assert out["n_base"] + out["n_new"] == 4
+    lines = open(out["result"]).read().splitlines()
+    assert len(lines) == 4 and all(len(l.split()) == 6 for l in lines)
