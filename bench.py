@@ -239,7 +239,10 @@ def main() -> None:
     cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "360"))
     t_start = time.perf_counter()
 
-    static_tag = "-static" if os.environ.get("JCF_BENCH_STATIC", "1") == "1" else ""
+    static_tag = (
+        f"-static{os.environ.get('JCF_BENCH_STATIC_MODE', 'ln')}"
+        if os.environ.get("JCF_BENCH_STATIC", "1") == "1" else ""
+    )
     embed_tag = (
         f"-{os.environ['JCF_BENCH_EMBED']}"
         if os.environ.get("JCF_BENCH_EMBED", "conv") != "conv" else ""
@@ -269,6 +272,7 @@ def main() -> None:
         normalize_views=True,
         quant=quant,
         calibration_images=images_np if (static_act and quant) else None,
+        static_quant_mode=os.environ.get("JCF_BENCH_STATIC_MODE", "ln"),
         embed_impl=os.environ.get("JCF_BENCH_EMBED", "conv"),
     )
 

@@ -242,6 +242,7 @@ class TTAEngine:
         fused_views: bool = True,  # Pallas view+patchify kernel
         mesh=None,  # jax.sharding.Mesh with a "data" axis -> DP serving
         calibration_images=None,  # [B, 3, H, W] sample -> static act quant
+        static_quant_mode: str = "ln",  # "ln": post-LN quants only; "full": + ctx/hidden
         embed_impl: str = "conv",  # "conv" | "dot6" (patchify+embed form)
     ):
         self.cfg = cfg
@@ -288,7 +289,15 @@ class TTAEngine:
                 amax = jax.jit(
                     lambda p, im: vision_ln_z_amax(p, cfg, im)
                 )(params, imgs)
-                act_scales = {"visual": jax.device_get(amax)}
+                amax = jax.device_get(amax)
+                if static_quant_mode == "ln":
+                    # z-scored LN inputs have tight, stable ranges; the
+                    # ctx/hidden ranges vary more per row — keeping those
+                    # two quants dynamic preserves int8-vs-f32 ranking
+                    # margin (the bench cert showed full-static plus the
+                    # native-tanh GELU dips below the top-5 gate)
+                    amax = amax[:, :2]
+                act_scales = {"visual": amax}
             self._quant_visual = quantize_clip_params(
                 params, fold=fold,
                 heads={"visual": cfg.vision_heads, "text": cfg.text_heads},

@@ -68,6 +68,15 @@ def _quant_rows(x32):
     return q, amax * (1.0 / 127.0)
 
 
+def _quick_gelu32(h):
+    """QuickGELU h*sigmoid(1.702h) in f32. With _GELU_TANH, uses the
+    EXACT identity sigmoid(y) = (1 + tanh(y/2))/2 — Mosaic lowers tanh
+    natively on the VPU while sigmoid goes through exp + divide."""
+    if _GELU_TANH:
+        return h * (0.5 + 0.5 * jnp.tanh(0.851 * h))
+    return h * jax.nn.sigmoid(1.702 * h)
+
+
 def _quant_rows_static(x32, inv):
     """Static-scale symmetric int8 (inv = 127/amax_calibrated, scalar);
     the dequant scale amax/127 is pre-folded into the weight scales."""
@@ -436,7 +445,7 @@ def _mlp_half_int8_kernel(
             hidden = _int8_gemm(
                 x_q, x_sc, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl]
             )
-            hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU, f32
+            hidden = _quick_gelu32(hidden)
             if static_h:
                 h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
             else:
@@ -469,7 +478,7 @@ def _mlp_half_kernel(
         )
         + bfc_ref[...].astype(jnp.float32)
     )
-    hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU in f32
+    hidden = _quick_gelu32(hidden)
     hidden = hidden.astype(rows.dtype)
     proj = (
         jax.lax.dot_general(
@@ -532,7 +541,7 @@ def _block_int8_kernel(
     else:
         q2, s2 = _quant_rows(h2)
     hidden = _int8_gemm(q2, s2, wfc_i8_ref, wfc_sc_ref, bfc_ref)
-    hidden = hidden * jax.nn.sigmoid(1.702 * hidden)  # QuickGELU in f32
+    hidden = _quick_gelu32(hidden)
     if static_h:
         h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
     else:
@@ -626,6 +635,9 @@ _MLP_NSPLIT = 1
 # Use the mask-free paired softmax epilogue for no-causal-mask towers
 # (joint max + post-PV normalization); False = additive-bias masked path.
 _NOMASK_EPILOGUE = True
+# QuickGELU x*sigmoid(1.702x) as x*(1+tanh(0.851x))/2 — EXACT identity;
+# TPU VPUs lower tanh natively while sigmoid goes through exp+divide.
+_GELU_TANH = True
 # int8 the attention inner GEMMs (scores: per-row dynamic q/k; PV: static
 # 127 on p — row max is exactly 1 — and one per-tile v scale). A/B knob
 # (VERDICT r2 #7): the inner GEMMs are ~2 ms of bf16 content per tower,
