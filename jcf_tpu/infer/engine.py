@@ -16,8 +16,7 @@ B images instead of B*N crops (N x less PCIe/DCN traffic).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,7 @@ from jcf_tpu.models.clip import (
 )
 from jcf_tpu.ops.layers import l2_normalize
 from jcf_tpu.ops.view_kernel import fused_views_nchw, sample_view_centers
-from jcf_tpu.tta.mta import MTAParams, solve_mta
+from jcf_tpu.tta.mta import MTAParams
 from jcf_tpu.tta import solve_mta_batch
 
 

@@ -20,7 +20,8 @@ Weights stay VMEM-resident per program (qkv+out ≈ 4.7MB bf16, MLP ≈ 9.4MB
 ~1.9GB to ~330MB at batch 1024 crops.
 
 Constraints (callers fall back to the composable path otherwise): no LoRA
-decomposed branch (merge first), no int8, no deep prompt splicing.
+decomposed branch (merge first), no deep prompt splicing. int8 W8A8 runs
+IN these kernels (folded weights + static/dynamic activation scales).
 """
 
 from __future__ import annotations
@@ -165,9 +166,11 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
     - ONE joint row max (zero pad-columns bound it below by 0) replaces
       the two masked maxima — any per-row constant is valid for softmax;
     - PV runs on UNNORMALIZED probabilities; the per-half normalizers
-      come from one [2S, 2] selector matvec (which also excludes pad
-      keys) and divide the [G, S, 2D] context post-PV — ~26x fewer
-      elements than normalizing the probabilities.
+      come from one [2S, 2D] 0/1 selector MATMUL that lands them already
+      lane-broadcast against the context (an [2S, 2] matvec wastes 126
+      MXU lanes and measured slower), excluding pad keys, and divide the
+      [G, S, 2D] context post-PV — far fewer elements than normalizing
+      the probabilities.
 
     vs the masked epilogue: 4 masked reductions + bias add + probability
     divide (~10 VPU passes over [G, S, 2S]) become max + exp (2 passes).

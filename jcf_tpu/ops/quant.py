@@ -82,8 +82,9 @@ def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
     would be wrong), which is what ``run_fused_tower(quant_folded=True)``
     selects.
 
-    ``act_scales`` (fold=True only): per-tower [L, 2] calibrated amax of
-    the z-normalized LN1/LN2 inputs (``models.clip.vision_ln_z_amax``).
+    ``act_scales`` (fold=True only): per-tower calibrated activation amax
+    from ``models.clip.vision_ln_z_amax`` — [L, 2] (z-normalized LN1/LN2
+    inputs) or [L, 4] (+ attention context and post-GELU hidden).
     When given, the tree carries per-layer STATIC activation quant scales
     (``ln_inv`` = 127/(amax*margin), with amax*margin/127 pre-folded into
     the weight dequant scales) — the kernels then skip the per-row |x|max

@@ -27,7 +27,7 @@ from jcf_tpu.pipelines.common import (
     stack_center_and_crops,
     tta_loader,
 )
-from jcf_tpu.utils import MetricLogger, Timer, get_logger
+from jcf_tpu.utils import Timer, get_logger
 
 logger = get_logger()
 
