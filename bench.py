@@ -37,7 +37,8 @@ Prints ONE JSON line:
 Env knobs: JCF_BENCH_BATCH, JCF_BENCH_VIEWS, JCF_BENCH_ITERS,
 JCF_BENCH_QUANT=int8|none, JCF_BENCH_CERT=1|0, JCF_BENCH_SMOKE=1|0,
 JCF_BENCH_STATIC=1|0 (calibrated static activation scales),
-JCF_BENCH_STATIC_MODE=ln|full, JCF_BENCH_EMBED=conv|dot6,
+JCF_BENCH_STATIC_MODE=ln|hidden|full with optional +score suffix
+(max-free softmax shift), JCF_BENCH_EMBED=conv|dot6,
 JCF_BENCH_CERT_DEADLINE (s), JCF_BENCH_STRICT=1 (exit nonzero on cert
 infrastructure failures, not just assertion failures).
 """

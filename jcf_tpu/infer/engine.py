@@ -241,7 +241,7 @@ class TTAEngine:
         fused_views: bool = True,  # Pallas view+patchify kernel
         mesh=None,  # jax.sharding.Mesh with a "data" axis -> DP serving
         calibration_images=None,  # [B, 3, H, W] sample -> static act quant
-        static_quant_mode: str = "ln",  # "ln": post-LN quants only; "full": + ctx/hidden
+        static_quant_mode: str = "ln",  # "ln" (post-LN only) | "hidden" (+post-GELU) | "full" (+ctx)
         embed_impl: str = "conv",  # "conv" | "dot6" (patchify+embed form)
     ):
         self.cfg = cfg
@@ -269,6 +269,7 @@ class TTAEngine:
 
             fold = impl in (None, "fused") and jax.default_backend() == "tpu"
             act_scales = None
+            act_static = ("ctx", "hidden")
             if fold and calibration_images is not None:
                 # per-layer static activation scales for the post-LN
                 # quantizations, calibrated on a serving-distribution
@@ -278,6 +279,12 @@ class TTAEngine:
                 # int8-vs-f32 agreement on the final config.
                 from jcf_tpu.models.clip import vision_ln_z_amax
 
+                # "<base>[+score]": base picks which quants go static,
+                # "+score" adds the max-free softmax shift (also
+                # calibrated; exact up to f32 range, kernels skip the
+                # per-row score max)
+                base_mode, _, score_suffix = static_quant_mode.partition("+")
+                with_scores = score_suffix == "score"
                 imgs = jnp.asarray(calibration_images[:32], jnp.float32)
                 if imgs.shape[-1] != cfg.image_resolution:
                     imgs = _center_crop_view(imgs, cfg.image_resolution)
@@ -286,21 +293,35 @@ class TTAEngine:
                     std_ = jnp.asarray(CLIP_STD, jnp.float32).reshape(1, 3, 1, 1)
                     imgs = (imgs - mean_) / std_
                 amax = jax.jit(
-                    lambda p, im: vision_ln_z_amax(p, cfg, im)
+                    lambda p, im: vision_ln_z_amax(p, cfg, im, with_scores=with_scores)
                 )(params, imgs)
                 amax = jax.device_get(amax)
-                if static_quant_mode == "ln":
+                if base_mode == "ln":
                     # z-scored LN inputs have tight, stable ranges; the
                     # ctx/hidden ranges vary more per row — keeping those
                     # two quants dynamic preserves int8-vs-f32 ranking
                     # margin (the bench cert showed full-static plus the
                     # native-tanh GELU dips below the top-5 gate)
-                    amax = amax[:, :2]
+                    act_static = ()
+                elif base_mode == "hidden":
+                    # middle ground: the post-GELU hidden quant (the
+                    # [rows, 3072] |x|max reduction — the widest one)
+                    # goes static too; ctx stays per-row dynamic
+                    act_static = ("hidden",)
+                elif base_mode == "full":
+                    act_static = ("ctx", "hidden")
+                else:
+                    raise ValueError(
+                        f"unknown static_quant_mode {static_quant_mode!r}"
+                    )
+                if with_scores:
+                    act_static = act_static + ("score",)
                 act_scales = {"visual": amax}
             self._quant_visual = quantize_clip_params(
                 params, fold=fold,
                 heads={"visual": cfg.vision_heads, "text": cfg.text_heads},
                 act_scales=act_scales,
+                act_static=act_static,
             )["visual"]
             self._quant_folded = fold
         elif quant is not None:

@@ -305,6 +305,7 @@ def vision_ln_z_amax(
     params: dict,
     cfg: CLIPConfig,
     images: jax.Array,  # [B, 3, 224, 224] calibration crops
+    with_scores: bool = False,
 ) -> jax.Array:
     """Per-layer activation amax statistics of the vision tower over a
     calibration batch -> [L, 4] f32 columns:
@@ -314,6 +315,12 @@ def vision_ln_z_amax(
       1: amax of the z-normalized LN2 input (c_fc quantizer input)
       2: amax of the attention context (out-proj quantizer input)
       3: amax of the post-QuickGELU MLP hidden (c_proj quantizer input)
+
+    ``with_scores=True`` appends a 5th column: amax of the scaled
+    attention scores q.k/sqrt(d) — the max-free softmax shift
+    calibration (softmax is shift-invariant for ANY constant, so the
+    kernels only need a bound that keeps exp() out of f32 overflow; see
+    quantize_clip_params(act_static=("score",))).
 
     These are the statistics the static-scale int8 kernels consume: a
     per-layer static scale replaces the per-row |x|max reduction at every
@@ -340,13 +347,25 @@ def vision_ln_z_amax(
 
     blocks = v["blocks"]
     n_layers = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+    n_heads = cfg.vision_heads
+    head_dim = cfg.vision_width // n_heads
     rows = []
     for i in range(n_layers):
         layer = jax.tree_util.tree_map(lambda a: a[i], blocks)
         a1 = z_amax(x)
+        h1 = layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"])
+        if with_scores:
+            qkv = jnp.einsum("bse,oe->bso", h1, layer["attn"]["w_qkv"]) + layer["attn"]["b_qkv"]
+            bsz, s, _ = qkv.shape
+            qh = qkv[..., : n_heads * head_dim].reshape(bsz, s, n_heads, head_dim)
+            kh = qkv[..., n_heads * head_dim : 2 * n_heads * head_dim].reshape(
+                bsz, s, n_heads, head_dim
+            )
+            a_sc = jnp.max(jnp.abs(
+                jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(jnp.float32(head_dim))
+            ))
         ctx = multi_head_attention(
-            layer_norm(x, layer["ln_1"]["scale"], layer["ln_1"]["bias"]),
-            layer["attn"], cfg.vision_heads, None, impl="xla",
+            h1, layer["attn"], cfg.vision_heads, None, impl="xla",
             return_pre_proj=True,
         )
         a_ctx = jnp.max(jnp.abs(ctx))
@@ -365,8 +384,11 @@ def vision_ln_z_amax(
             jnp.einsum("bsh,oh->bso", hidden, layer["mlp"]["c_proj"]["w"])
             + layer["mlp"]["c_proj"]["b"]
         )
-        rows.append(jnp.stack([a1, a2, a_ctx, a_h]))
-    return jnp.stack(rows)  # [L, 4]
+        cols = [a1, a2, a_ctx, a_h]
+        if with_scores:
+            cols.append(a_sc)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # [L, 4] or [L, 5]
 
 
 def _patchify(images: jax.Array, patch: int) -> jax.Array:

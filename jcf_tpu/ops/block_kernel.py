@@ -101,7 +101,8 @@ def _int8_gemm(x_q, x_scale, w_int8_ref, w_scale_ref, bias_ref):
 
 
 def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
-                       precision=None, *, s_real=None, use_mask=True):
+                       precision=None, *, s_real=None, use_mask=True,
+                       score_shift=None):
     """qkv [G*S, 3E] -> context [G*S, E].
 
     Per head: one crop-batched dot_general pair ([G, S, D] x [G, S, D]) —
@@ -127,6 +128,8 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
         return _paired_attention_nomask(
             q3, n_heads, head_dim, scale, group, s_pad, precision,
             s_real=s_real if s_real is not None else s_pad,
+            # _INT8_ATTN's p quantization assumes the row max is exactly 1
+            score_shift=None if _INT8_ATTN else score_shift,
         )
     ctx = []
     for h in range(n_heads):
@@ -153,7 +156,7 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
 
 
 def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
-                             precision=None, *, s_real):
+                             precision=None, *, s_real, score_shift=None):
     """Paired-head attention, no-causal-mask epilogue (PERF.md r3).
 
     Same zero-masked K/V pairing as ``_paired_attention`` (two heads per
@@ -238,7 +241,13 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
             )  # [G, S, 2S] = [lo | hi]
         if scale is not None:
             scores = scores * scale
-        m = jnp.max(scores, axis=-1, keepdims=True)
+        if score_shift is None:
+            m = jnp.max(scores, axis=-1, keepdims=True)
+        else:
+            # max-free softmax: shift-invariant for any constant; the
+            # calibrated per-layer shift keeps exp() in f32 range and
+            # skips the row-max reduction over [G, S, 2S] entirely
+            m = score_shift
         p = jnp.exp(scores - m)
         if _INT8_ATTN:
             # p's row max is exactly 1 -> static scale 127; one scalar
@@ -372,12 +381,12 @@ def _attn_half_kernel(
 
 
 def _attn_half_int8_kernel(
-    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, ctx_inv_ref,
+    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, ctx_inv_ref, shift_ref,
     wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
     wout_i8_ref, wout_sc_ref, bout_ref, bias_ref, out_ref,
     *, n_heads, head_dim, scale, group, s_pad,
     s_real=None, use_mask=True, folded=False, static_act=False,
-    static_ctx=False,
+    static_ctx=False, static_shift=False,
 ):
     e = n_heads * head_dim
     bias = bias_ref[...]
@@ -403,6 +412,7 @@ def _attn_half_int8_kernel(
         ctx = _batched_attention(
             qkv, bias, n_heads, head_dim, None if folded else scale,
             g_sub, s_pad, s_real=s_real, use_mask=use_mask,
+            score_shift=shift_ref[0, 0] if static_shift else None,
         )
         if static_ctx:
             c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
@@ -495,7 +505,7 @@ def _mlp_half_kernel(
 
 
 def _block_int8_kernel(
-    x_ref, ln1_s_ref, ln1_b_ref, ln1_inv_ref, ctx_inv_ref,
+    x_ref, ln1_s_ref, ln1_b_ref, ln1_inv_ref, ctx_inv_ref, shift_ref,
     wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
     wout_i8_ref, wout_sc_ref, bout_ref,
     ln2_s_ref, ln2_b_ref, ln2_inv_ref, h_inv_ref,
@@ -503,7 +513,7 @@ def _block_int8_kernel(
     bias_ref, out_ref,
     *, n_heads, head_dim, scale, group, s_pad,
     s_real=None, use_mask=True, folded=False, static_act=False,
-    static_ctx=False, static_h=False,
+    static_ctx=False, static_h=False, static_shift=False,
 ):
     """One whole transformer block, int8 W8A8: the residual stream never
     leaves VMEM between the attention and MLP halves. Supports the same
@@ -526,6 +536,7 @@ def _block_int8_kernel(
     ctx = _batched_attention(
         qkv, bias_ref[...], n_heads, head_dim, None if folded else scale,
         group, s_pad, s_real=s_real, use_mask=use_mask,
+        score_shift=shift_ref[0, 0] if static_shift else None,
     )
     if static_ctx:
         c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
@@ -683,11 +694,13 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         static_act = "ln_inv" in quant_layer["attn"]
         static_ctx = "ctx_inv" in quant_layer["attn"]
         static_h = "h_inv" in quant_layer["mlp"]
+        static_shift = "score_shift" in quant_layer["attn"]
         ones11 = jnp.ones((1, 1), jnp.float32)
         ln1_inv = quant_layer["attn"].get("ln_inv", ones11)
         ln2_inv = quant_layer["mlp"].get("ln_inv", ones11)
         ctx_inv = quant_layer["attn"].get("ctx_inv", ones11)
         h_inv = quant_layer["mlp"].get("h_inv", ones11)
+        shift = quant_layer["attn"].get("score_shift", ones11)
         tile, common = tile_common(group_a)
         x = pl.pallas_call(
             functools.partial(
@@ -695,9 +708,11 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
                 scale=1.0 / math.sqrt(d), group=group_a, s_pad=s_pad,
                 s_real=s_real, use_mask=use_mask, folded=quant_folded,
                 static_act=static_act, static_ctx=static_ctx,
+                static_shift=static_shift,
             ),
             in_specs=[
                 tile, full((e,)), full((e,)), full((1, 1)), full((1, 1)),
+                full((1, 1)),
                 full((3 * e, e)), full((3 * e,)), full((3 * e,)),
                 full((e, e)), full((e,)), full((e,)),
                 full((s_pad, s_pad)),
@@ -706,7 +721,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         )(
             x,
             params["ln_1"]["scale"].astype(x.dtype), params["ln_1"]["bias"].astype(x.dtype),
-            ln1_inv, ctx_inv,
+            ln1_inv, ctx_inv, shift,
             quant_layer["attn"]["w_qkv"].w_int8, quant_layer["attn"]["w_qkv"].w_scale,
             quant_layer["attn"]["w_qkv"].bias,
             quant_layer["attn"]["w_out"].w_int8, quant_layer["attn"]["w_out"].w_scale,
@@ -814,6 +829,7 @@ def fused_block(
         static_act = "ln_inv" in quant_layer["attn"]
         static_ctx = "ctx_inv" in quant_layer["attn"]
         static_h = "h_inv" in quant_layer["mlp"]
+        static_shift = "score_shift" in quant_layer["attn"]
         ones11 = jnp.ones((1, 1), jnp.float32)
         return pl.pallas_call(
             functools.partial(
@@ -821,12 +837,13 @@ def fused_block(
                 scale=1.0 / math.sqrt(d), group=group, s_pad=s_pad,
                 s_real=s_real, use_mask=use_mask, folded=quant_folded,
                 static_act=static_act, static_ctx=static_ctx,
-                static_h=static_h,
+                static_h=static_h, static_shift=static_shift,
             ),
             grid=(b // group,),
             in_specs=[
                 vmem((group, s_pad, e), lambda i: (i, 0, 0)),
                 full((e,)), full((e,)), full((1, 1)), full((1, 1)),
+                full((1, 1)),
                 full((3 * e, e)), full((3 * e,)), full((3 * e,)),
                 full((e, e)), full((e,)), full((e,)),
                 full((e,)), full((e,)), full((1, 1)), full((1, 1)),
@@ -843,6 +860,7 @@ def fused_block(
             params["ln_1"]["scale"].astype(x.dtype), params["ln_1"]["bias"].astype(x.dtype),
             quant_layer["attn"].get("ln_inv", ones11),
             quant_layer["attn"].get("ctx_inv", ones11),
+            quant_layer["attn"].get("score_shift", ones11),
             quant_layer["attn"]["w_qkv"].w_int8, quant_layer["attn"]["w_qkv"].w_scale,
             quant_layer["attn"]["w_qkv"].bias,
             quant_layer["attn"]["w_out"].w_int8, quant_layer["attn"]["w_out"].w_scale,

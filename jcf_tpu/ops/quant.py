@@ -62,7 +62,8 @@ def int8_linear(x: jax.Array, q: QuantizedLinear) -> jax.Array:
 
 
 def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
-                         act_scales=None, act_margin: float = 1.05) -> dict:
+                         act_scales=None, act_margin: float = 1.05,
+                         act_static=("ctx", "hidden")) -> dict:
     """Quantize the heavy matmul weights of a CLIP param tree in place
     (blocks' qkv/out/mlp + patch embed); everything else stays float.
     Returns a tree holding QuantizedLinear leaves under 'quant'.
@@ -90,7 +91,12 @@ def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
     the weight dequant scales) — the kernels then skip the per-row |x|max
     reduction for the post-LN quantizations. Rows exceeding the
     calibrated range clip; the margin plus the bench ranking certificate
-    gate the approximation.
+    gate the approximation. With a [L, 4+] ``act_scales``, ``act_static``
+    selects which of the extra quants go static ("ctx", "hidden") — the
+    post-LN pair is always static when calibration is present. With a
+    [L, 5] calibration (vision_ln_z_amax(with_scores=True)), "score" in
+    ``act_static`` additionally emits the max-free-softmax shift the
+    mask-free attention kernels use to skip the per-row score max.
     """
     heads = heads or {}
     act_scales = act_scales or {}
@@ -145,18 +151,35 @@ def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
                 if a.shape[1] >= 4:
                     # static ctx (attention out-proj input) and post-GELU
                     # hidden (c_proj input) scales; wider margin — their
-                    # per-row amax varies more than z-scored LN inputs
+                    # per-row amax varies more than z-scored LN inputs.
+                    # Each is independently selectable via ``act_static``
+                    # (the kernels branch on key presence), so a config
+                    # can keep e.g. only the hidden quant static.
                     ah = a[:, 2:4] * (1.10 / act_margin)
-                    tree["attn"]["ctx_inv"] = (127.0 / ah[:, 0]).reshape(-1, 1, 1)
-                    tree["mlp"]["h_inv"] = (127.0 / ah[:, 1]).reshape(-1, 1, 1)
-                    tree["attn"]["w_out"] = tree["attn"]["w_out"]._replace(
-                        w_scale=tree["attn"]["w_out"].w_scale
-                        * (ah[:, 0] / 127.0)[:, None]
-                    )
-                    tree["mlp"]["c_proj"] = tree["mlp"]["c_proj"]._replace(
-                        w_scale=tree["mlp"]["c_proj"].w_scale
-                        * (ah[:, 1] / 127.0)[:, None]
-                    )
+                    if "ctx" in act_static:
+                        tree["attn"]["ctx_inv"] = (127.0 / ah[:, 0]).reshape(-1, 1, 1)
+                        tree["attn"]["w_out"] = tree["attn"]["w_out"]._replace(
+                            w_scale=tree["attn"]["w_out"].w_scale
+                            * (ah[:, 0] / 127.0)[:, None]
+                        )
+                    if "hidden" in act_static:
+                        tree["mlp"]["h_inv"] = (127.0 / ah[:, 1]).reshape(-1, 1, 1)
+                        tree["mlp"]["c_proj"] = tree["mlp"]["c_proj"]._replace(
+                            w_scale=tree["mlp"]["c_proj"].w_scale
+                            * (ah[:, 1] / 127.0)[:, None]
+                        )
+                if a.shape[1] >= 5 and "score" in act_static:
+                    # max-free softmax shift: softmax is invariant to ANY
+                    # constant shift, so correctness only needs exp() to
+                    # stay inside f32 range. M = calibrated score amax
+                    # minus 40 leaves e^40 of intended dynamic range and
+                    # ~e^48 of overflow headroom above the calibration;
+                    # rows far below M just scale down (f32 relative
+                    # precision keeps the ratios). The kernels then skip
+                    # the per-row max reduction over the scores tile.
+                    tree["attn"]["score_shift"] = jnp.maximum(
+                        a[:, 4] / act_margin - 40.0, 0.0
+                    ).reshape(-1, 1, 1)
             return tree
         return {
             "attn": {

@@ -210,3 +210,102 @@ def test_whole_block_int8_matches_halves(monkeypatch):
         x, params["visual"]["blocks"], 2, None,
         quant=q["visual"], quant_folded=True, interpret=True))
     np.testing.assert_allclose(block, halves, atol=1e-5)
+
+
+def test_fused_tower_static_hidden_only():
+    """act_static=("hidden",) makes the post-GELU quant static while ctx
+    stays per-row dynamic (engine static_quant_mode="hidden") — the
+    kernel dispatch combination static_act+static_h without static_ctx
+    must stay close to the fully-dynamic folded tower."""
+    from jcf_tpu.models.clip import vision_ln_z_amax
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=120,
+        text_width=128, text_heads=2, text_layers=2,
+    )
+    rng = np.random.default_rng(31)
+    params = init_clip_params(13, cfg)
+    amax = np.asarray(vision_ln_z_amax(
+        params, cfg, jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32))
+    ))
+    q_dyn = quantize_clip_params(
+        params, fold=True, heads={"visual": 2, "text": 2},
+        act_scales={"visual": amax[:, :2]},
+    )
+    q_h = quantize_clip_params(
+        params, fold=True, heads={"visual": 2, "text": 2},
+        act_scales={"visual": amax}, act_static=("hidden",),
+    )
+    assert "h_inv" in q_h["visual"]["mlp"]
+    assert "ctx_inv" not in q_h["visual"]["attn"]
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)).astype(np.float32))
+    base = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q_dyn["visual"], quant_folded=True, interpret=True))
+    hid = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q_h["visual"], quant_folded=True, interpret=True))
+    cos = ((base * hid).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(hid, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.999, cos
+
+
+def test_fused_tower_max_free_softmax():
+    """act_static=("score",) swaps the per-row score max for a calibrated
+    per-layer shift — softmax is shift-invariant for any constant, so the
+    tower output must match the row-max version to float precision."""
+    from jcf_tpu.models.clip import vision_ln_z_amax
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=120,
+        text_width=128, text_heads=2, text_layers=2,
+    )
+    rng = np.random.default_rng(37)
+    params = init_clip_params(17, cfg)
+    amax = np.asarray(vision_ln_z_amax(
+        params, cfg, jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32)),
+        with_scores=True,
+    ))
+    assert amax.shape[1] == 5
+    q_base = quantize_clip_params(
+        params, fold=True, heads={"visual": 2, "text": 2},
+        act_scales={"visual": amax}, act_static=(),
+    )
+    q_shift = quantize_clip_params(
+        params, fold=True, heads={"visual": 2, "text": 2},
+        act_scales={"visual": amax}, act_static=("score",),
+    )
+    assert "score_shift" in q_shift["visual"]["attn"]
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)).astype(np.float32))
+    base = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q_base["visual"], quant_folded=True, interpret=True))
+    shifted = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None,
+        quant=q_shift["visual"], quant_folded=True, interpret=True))
+    # elementwise comparison is confounded by int8 requant rounding flips
+    # (a 1-ulp softmax difference can flip an int8 step); rankings-level
+    # cosine is the right gate, like the other int8 variants
+    cos = ((base * shifted).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(shifted, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.999, cos
+
+
+def test_paired_attention_nomask_shift_exact():
+    """The max-free epilogue itself (f32, no quantization in the way) is
+    exact: any constant shift cancels in the normalization."""
+    from jcf_tpu.ops.block_kernel import _paired_attention_nomask
+
+    rng = np.random.default_rng(41)
+    q3 = jnp.asarray(rng.standard_normal((2, 24, 6 * 64)).astype(np.float32))
+    base = np.asarray(_paired_attention_nomask(
+        q3, 2, 64, None, 2, 24, s_real=17))
+    shifted = np.asarray(_paired_attention_nomask(
+        q3, 2, 64, None, 2, 24, s_real=17, score_shift=jnp.float32(7.5)))
+    np.testing.assert_allclose(shifted, base, atol=2e-5, rtol=2e-5)
