@@ -243,7 +243,7 @@ def main() -> None:
     t_start = time.perf_counter()
 
     static_tag = (
-        f"-static{os.environ.get('JCF_BENCH_STATIC_MODE', 'ln')}"
+        f"-static{os.environ.get('JCF_BENCH_STATIC_MODE', 'hidden')}"
         if os.environ.get("JCF_BENCH_STATIC", "1") == "1" else ""
     )
     embed_tag = (
@@ -275,7 +275,7 @@ def main() -> None:
         normalize_views=True,
         quant=quant,
         calibration_images=images_np if (static_act and quant) else None,
-        static_quant_mode=os.environ.get("JCF_BENCH_STATIC_MODE", "ln"),
+        static_quant_mode=os.environ.get("JCF_BENCH_STATIC_MODE", "hidden"),
         embed_impl=os.environ.get("JCF_BENCH_EMBED", "conv"),
     )
 

@@ -241,7 +241,7 @@ class TTAEngine:
         fused_views: bool = True,  # Pallas view+patchify kernel
         mesh=None,  # jax.sharding.Mesh with a "data" axis -> DP serving
         calibration_images=None,  # [B, 3, H, W] sample -> static act quant
-        static_quant_mode: str = "ln",  # "ln" (post-LN only) | "hidden" (+post-GELU) | "full" (+ctx)
+        static_quant_mode: str = "hidden",  # "ln" (post-LN) | "hidden" (+post-GELU) | "full" (+ctx)
         embed_impl: str = "conv",  # "conv" | "dot6" (patchify+embed form)
     ):
         self.cfg = cfg
