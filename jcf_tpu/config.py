@@ -108,6 +108,10 @@ class RuntimeConfig:
     # calibrate per-layer static activation quant scales on the first
     # decoded batch (int8 fused path only; bench-certified)
     static_quant: bool = False
+    # which quantizations go static: "ln" (post-LN only), "hidden"
+    # (+post-GELU; serving default), "full" (+attention ctx); an
+    # optional "+score" suffix adds the max-free softmax shift
+    static_quant_mode: str = "hidden"
     mesh_axis: str = "data"
     # shard serving image batches over all visible devices (params
     # replicated); single-device when only one device is visible

@@ -55,6 +55,7 @@ def run_ood_split(cfg: PipelineConfig) -> dict:
             quant=cfg.runtime.quant,
             mesh=mesh,
             calibration_images=calibration_images,
+            static_quant_mode=cfg.runtime.static_quant_mode,
         )
 
     engine = None if cfg.runtime.static_quant and cfg.tta.device_crops else build_engine()
