@@ -221,7 +221,7 @@ def _kernel_smoke(params, cfg) -> str:
 
 
 def main() -> None:
-    batch = int(os.environ.get("JCF_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("JCF_BENCH_BATCH", "512"))
     # total views per image (BASELINE's N=8): center + (N-1) random crops
     n_views_total = int(os.environ.get("JCF_BENCH_VIEWS", "8"))
     n_views = n_views_total - 1
