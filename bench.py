@@ -250,7 +250,22 @@ def main() -> None:
         f"-{os.environ['JCF_BENCH_EMBED']}"
         if os.environ.get("JCF_BENCH_EMBED", "conv") != "conv" else ""
     )
-    config_tag = f"b{batch}-v{n_views_total}-{quant or 'bf16'}{static_tag}{embed_tag}"
+    # scheduling-knob A/Bs without kernel-source edits (module defaults
+    # stay authoritative; overrides tag the cert/cache key)
+    import jcf_tpu.ops.block_kernel as bk
+
+    knob_tag = ""
+    for env, attr, cast in (
+        ("JCF_BENCH_SUBTILES", "_SUBTILES", int),
+        ("JCF_BENCH_GROUP", "_GROUP_TARGET", int),
+        ("JCF_BENCH_GROUP_ATTN", "_GROUP_ATTN", int),
+        ("JCF_BENCH_GROUP_MLP", "_GROUP_MLP", int),
+        ("JCF_BENCH_MLP_NSPLIT", "_MLP_NSPLIT", int),
+    ):
+        if os.environ.get(env):
+            setattr(bk, attr, cast(os.environ[env]))
+            knob_tag += f"-{attr.strip('_').lower()}{os.environ[env]}"
+    config_tag = f"b{batch}-v{n_views_total}-{quant or 'bf16'}{static_tag}{embed_tag}{knob_tag}"
     khash = _kernel_hash(config_tag)
     cert_state = _load_cert_state()
 
