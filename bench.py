@@ -140,6 +140,11 @@ def _ranking_certificate(engine_q, params, cfg, images, text, key) -> dict:
     overlap = float(
         np.mean([len(set(a) & set(b)) / 5.0 for a, b in zip(top5_q, top5_f)])
     )
+    # thresholds: the adopted serving default (b512 / hidden static quant)
+    # demonstrated 1.000 / 0.9719 in r3 — gate at the demonstrated level
+    # (VERDICT r3 #5); experimental knob configs keep the looser gates.
+    min_top1 = float(os.environ.get("JCF_BENCH_CERT_MIN_TOP1", "0.99"))
+    min_top5 = float(os.environ.get("JCF_BENCH_CERT_MIN_TOP5", "0.97"))
     cos = float(
         np.mean(
             np.sum(np.asarray(modes_q) * np.asarray(modes_f), axis=-1)
@@ -153,8 +158,8 @@ def _ranking_certificate(engine_q, params, cfg, images, text, key) -> dict:
         f"cert int8-vs-f32: top1_agree={top1_agree:.4f} "
         f"top5_overlap={overlap:.4f} mode_cos={cos:.6f}"
     )
-    assert top1_agree >= 0.98, f"int8 flips top-1 rankings: {top1_agree}"
-    assert overlap >= 0.95, f"int8 flips top-5 rankings: {overlap}"
+    assert top1_agree >= min_top1, f"int8 flips top-1 rankings: {top1_agree}"
+    assert overlap >= min_top5, f"int8 flips top-5 rankings: {overlap}"
     return {
         "int8_top1_agree": round(top1_agree, 4),
         "int8_top5_overlap": round(overlap, 4),
@@ -238,9 +243,16 @@ def main() -> None:
     # wall-clock guard: cold compiles through the tunnel can take minutes
     # per program; once this much time has gone by, remaining cert/smoke
     # phases fall back to the persisted green record instead of risking the
-    # JSON line to an outer timeout. Warm-cache runs never hit this.
-    cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "360"))
+    # JSON line to an outer timeout. NOTE even a fully warm-cache run
+    # spends ~10 min before the cert phases on a tunnel-attached chip
+    # (cache loads + uploads ride the tunnel), which is why the r2/r3
+    # driver runs kept falling back to the persisted record at the old
+    # 360 s default — the phase timestamps logged below attribute it.
+    cert_deadline = float(os.environ.get("JCF_BENCH_CERT_DEADLINE", "1200"))
     t_start = time.perf_counter()
+
+    def _mark(phase):
+        _log(f"[bench +{time.perf_counter() - t_start:7.1f}s] {phase}")
 
     static_tag = (
         f"-static{os.environ.get('JCF_BENCH_STATIC_MODE', 'hidden')}"
@@ -269,11 +281,22 @@ def main() -> None:
     khash = _kernel_hash(config_tag)
     cert_state = _load_cert_state()
 
+    # cert gates: demonstrated-level thresholds for the adopted serving
+    # default; experimental knob/mode configs keep the looser r2 gates
+    is_default_cfg = not (knob_tag or embed_tag) and static_tag in (
+        "", "-statichidden"
+    )
+    if not is_default_cfg:
+        os.environ.setdefault("JCF_BENCH_CERT_MIN_TOP1", "0.98")
+        os.environ.setdefault("JCF_BENCH_CERT_MIN_TOP5", "0.95")
+
     from jcf_tpu.infer import TTAEngine
     from jcf_tpu.models import VIT_B_32, init_clip_params
 
+    _mark("imports done")
     cfg = VIT_B_32
     params = init_clip_params(0, cfg)
+    _mark("params initialized")
 
     rng = np.random.default_rng(0)
     # staged in the compute dtype: the serving host uploads bf16 pixels
@@ -298,12 +321,14 @@ def main() -> None:
     text = rng.standard_normal((403, cfg.embed_dim)).astype(np.float32)
     text = jax.device_put(jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True)))
 
+    _mark("engine built (weights quantized, static scales calibrated)")
     keys = jax.random.split(jax.random.PRNGKey(0), warmup + iters)
 
     # warmup / compile the serving program
     for i in range(warmup):
         out = engine.features_from_images(images, text, keys[i])
     jax.block_until_ready(out)
+    _mark("serving program warm")
 
     record: dict = {}
     failed_assertion = None
@@ -334,11 +359,15 @@ def main() -> None:
             record[f"{name}_error"] = f"{type(exc).__name__}: {str(exc)[:300]}"
             infra_error = exc
             if persisted and persisted.get("hash") == khash:
-                record.update(persisted["fields"])
+                # nest under a distinct key so consumers keying on field
+                # presence can't mistake an errored run for a fresh cert
+                # (ADVICE r3); cert_source stays authoritative
+                record[f"{name}_persisted"] = persisted["fields"]
                 record[f"{name}_source"] = "persisted (live run errored)"
             return
         record.update(fields)
         record[f"{name}_source"] = "live"
+        record[f"{name}_elapsed_s"] = round(time.perf_counter() - t_start, 1)
         cert_state[persist_key] = {"hash": khash, "fields": fields}
         _save_cert_state(cert_state)
 

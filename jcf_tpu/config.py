@@ -117,6 +117,10 @@ class RuntimeConfig:
     # replicated); single-device when only one device is visible
     data_parallel: bool = True
     profile_dir: Optional[str] = None
+    # directory for the content-keyed text-classifier cache (the 403-class
+    # build costs minutes per invocation; a deployment pays it once —
+    # VERDICT r3 #7). None disables.
+    classifier_cache: Optional[str] = ".jcf_cache"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,6 +35,23 @@ from jcf_tpu.tta.mta import MTAParams
 from jcf_tpu.tta import solve_mta_batch
 
 
+def _import_shard_map():
+    """jax.shard_map (0.8+); the experimental fallback predates the
+    check_vma kwarg, so wrap it to accept/ignore it (ADVICE r3)."""
+    try:
+        from jax import shard_map
+
+        return shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        def shard_map(f, **kw):
+            kw.pop("check_vma", None)
+            return _sm(f, **kw)
+
+        return shard_map
+
+
 def encode_image_batched(
     params: dict,
     cfg: CLIPConfig,
@@ -104,21 +121,62 @@ def sample_crop_boxes(
     (area uniform in `scale`, log-uniform aspect). Rejection sampling is
     replaced by clamping to the image — compiler-friendly, same coverage
     for the reference's scale ranges (boxes rarely overflow at scale<=1)."""
+    boxes, flips = _sample_boxes_shaped(key, (n,), src_hw, scale, ratio)
+    return boxes, flips
+
+
+def _sample_boxes_shaped(key, shape, src_hw, scale, ratio):
+    """Box sampling over an arbitrary leading shape from ONE key.
+
+    Batched draws matter on TPU: a per-image ``vmap(split+sample)`` runs
+    B threefry key-derivations and 5B tiny uniforms per batch — the bench
+    trace showed ~1.3 ms/iter of fragmented "centers" fusions at 128x8.
+    Five batch-shaped draws generate the same distribution in a handful
+    of big VPU ops."""
     h_src, w_src = src_hw
     k_area, k_ratio, k_top, k_left, k_flip = jax.random.split(key, 5)
-    area = w_src * h_src * jax.random.uniform(k_area, (n,), minval=scale[0], maxval=scale[1])
+    area = w_src * h_src * jax.random.uniform(
+        k_area, shape, minval=scale[0], maxval=scale[1]
+    )
     log_r = jax.random.uniform(
-        k_ratio, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+        k_ratio, shape, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
     )
     aspect = jnp.exp(log_r)
     w = jnp.sqrt(area * aspect)
     h = jnp.sqrt(area / aspect)
     w = jnp.clip(w, 8.0, w_src)
     h = jnp.clip(h, 8.0, h_src)
-    top = jax.random.uniform(k_top, (n,)) * (h_src - h)
-    left = jax.random.uniform(k_left, (n,)) * (w_src - w)
-    flips = jax.random.bernoulli(k_flip, 0.5, (n,))
-    return jnp.stack([top, left, h, w], axis=1), flips
+    top = jax.random.uniform(k_top, shape) * (h_src - h)
+    left = jax.random.uniform(k_left, shape) * (w_src - w)
+    flips = jax.random.bernoulli(k_flip, 0.5, shape)
+    return jnp.stack([top, left, h, w], axis=-1), flips
+
+
+def sample_tta_boxes(
+    key: jax.Array,
+    batch: int,
+    n_random: int,
+    src_hw: Tuple[int, int],
+    out_size: int,
+    scale: Tuple[float, float] = (0.5, 1.0),
+    ratio: Tuple[float, float] = (0.75, 4.0 / 3.0),
+) -> Tuple[jax.Array, jax.Array]:
+    """Whole-batch TTA boxes: the center crop first, then ``n_random``
+    random crops per image -> (boxes [B, 1+n, 4], flips [B, 1+n] bool).
+    One key, batched draws (see ``_sample_boxes_shaped``)."""
+    h_src, w_src = src_hw
+    boxes, flips = _sample_boxes_shaped(
+        key, (batch, n_random), src_hw, scale, ratio
+    )
+    center = jnp.array(
+        [(h_src - out_size) // 2, (w_src - out_size) // 2, out_size, out_size],
+        jnp.float32,
+    )
+    boxes = jnp.concatenate(
+        [jnp.broadcast_to(center, (batch, 1, 4)), boxes], axis=1
+    )
+    flips = jnp.concatenate([jnp.zeros((batch, 1), bool), flips], axis=1)
+    return boxes, flips
 
 
 def device_tta_views_nhcw(
@@ -144,21 +202,24 @@ def device_tta_views_nhcw(
         lhs free dims (o, C) kept, so the result lands in [o, C, q] order
         with no transpose (``_patchify_nhcw`` consumes it directly).
     """
-    b, c, h, w = images.shape
-    n = n_views + 1
-
-    keys = jax.random.split(key, b) if key.ndim == 1 else key
-    boxes, flips = jax.vmap(
-        lambda k: sample_crop_boxes(k, n_views, (h, w), scale)
-    )(keys)  # [B, V, 4], [B, V]
-    center = jnp.array(
-        [(h - out_size) // 2, (w - out_size) // 2, out_size, out_size],
-        jnp.float32,
+    b = images.shape[0]
+    boxes, flips = sample_tta_boxes(
+        key, b, n_views, images.shape[2:], out_size, scale
     )
-    boxes = jnp.concatenate(
-        [jnp.broadcast_to(center, (b, 1, 4)), boxes], axis=1
-    )  # [B, N, 4]
-    flips = jnp.concatenate([jnp.zeros((b, 1), bool), flips], axis=1)
+    return tta_views_nhcw_from_boxes(images, boxes, flips, out_size)
+
+
+def tta_views_nhcw_from_boxes(
+    images: jax.Array,
+    boxes: jax.Array,  # [B, N, 4] (center-first; see sample_tta_boxes)
+    flips: jax.Array,  # [B, N] bool
+    out_size: int = 224,
+) -> jax.Array:
+    """Resample pre-sampled TTA boxes -> [B, N, out, C, out] NHCW views
+    (the GEMM pipeline of ``device_tta_views_nhcw``, sampling split out so
+    a DP caller can shard the boxes with the images)."""
+    b, c, h, w = images.shape
+    n = boxes.shape[1]
 
     wy, wx = crop_resize_matrices(boxes.reshape(b * n, 4), (h, w), out_size)
     wy = wy.reshape(b, n, out_size, h).astype(images.dtype)
@@ -242,7 +303,7 @@ class TTAEngine:
         mesh=None,  # jax.sharding.Mesh with a "data" axis -> DP serving
         calibration_images=None,  # [B, 3, H, W] sample -> static act quant
         static_quant_mode: str = "hidden",  # "ln" (post-LN) | "hidden" (+post-GELU) | "full" (+ctx)
-        embed_impl: str = "conv",  # "conv" | "dot6" (patchify+embed form)
+        embed_impl: str = "conv",  # "conv" | "conv_i8" (int8 MXU) | "dot6"
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -267,7 +328,15 @@ class TTAEngine:
         if quant == "int8":
             from jcf_tpu.ops.quant import quantize_clip_params
 
-            fold = impl in (None, "fused") and jax.default_backend() == "tpu"
+            # the fused kernels (and hence the folded tree) are only
+            # dispatched for towers under 128 tokens (models.clip._run_blocks
+            # gate); longer towers (e.g. ViT-B/16's 197) take the composable
+            # path, which needs the UNFOLDED tree (ADVICE r3)
+            fold = (
+                impl in (None, "fused")
+                and jax.default_backend() == "tpu"
+                and cfg.vision_seq_len < 128
+            )
             act_scales = None
             act_static = ("ctx", "hidden")
             if fold and calibration_images is not None:
@@ -354,18 +423,51 @@ class TTAEngine:
         # the sampler with no elementwise producer (XLA would otherwise
         # sink the normalize into the Nx-expanded views, recomputing it
         # per view — measured +8ms at 128x8 on v5e).
-        w4, fold_bias = fold_normalize_into_embed(
+        w4_f32, fold_bias = fold_normalize_into_embed(
             params["visual"]["patch_embed"]["w"],
             CLIP_MEAN if normalize_views else (0.0, 0.0, 0.0),
             CLIP_STD if normalize_views else (1.0, 1.0, 1.0),
             cfg.vision_patch_size,
-            dtype=dtype,
+            dtype=jnp.float32,
         )
+        w4 = w4_f32.astype(dtype)
 
-        def features_from_images_keys(params, images, text_weights, keys):
-            # keys: pre-split [B, 2] per-image crop keys (value-identical
-            # to splitting a single key in here; pre-splitting lets the DP
-            # wrapper shard them with the batch)
+        embed_q = None
+        if embed_impl == "conv_i8":
+            # int8 patch embed (PERF.md r4): the view kernel emits int8
+            # pixels q = round(v*254 - 127) (exact 8-bit affine quant of
+            # [0,1] data — the JPEG source precision), the patchify conv
+            # runs s8 x s8 -> s32 on the int8 MXU, and the constant +127
+            # pixel offset folds into the bias using the EXACT folded
+            # weight: conv((q+127)/254, W) = conv(q, W)/254 + rowsum(W) *
+            # 127/254. Only the weight-side int8 rounding approximates.
+            kern_f = jnp.transpose(w4_f32, (3, 0, 1, 2))  # [E, C, p, p]
+            flat = kern_f.reshape(kern_f.shape[0], -1)
+            kscale = jnp.maximum(jnp.max(jnp.abs(flat), axis=1) / 127.0, 1e-8)
+            k_q = (
+                jnp.clip(jnp.round(flat / kscale[:, None]), -127, 127)
+                .astype(jnp.int8)
+                .reshape(kern_f.shape)
+            )
+            bias_i8 = fold_bias + jnp.sum(flat, axis=1) * (127.0 / 254.0)
+            embed_q = (k_q, (kscale / 254.0).astype(jnp.float32), bias_i8)
+
+        def sample_view_spec(key, b, src_hw):
+            # the whole batch's crop geometry from ONE key, outside the
+            # (possibly sharded) compute: batched draws replace B per-image
+            # threefry splits (PERF.md r4), and the DP path shards the
+            # result with the images — byte-identical to single-device
+            if use_fused_views:
+                return sample_view_centers(
+                    key, b, n_views + 1, src_hw, cfg.image_resolution, crop_scale
+                )
+            return sample_tta_boxes(
+                key, b, n_views, src_hw, cfg.image_resolution, crop_scale
+            )
+
+        def features_from_images_spec(params, images, text_weights, spec):
+            # spec: (cy, cx, inv) per-view crop geometry (fused path) or
+            # (boxes, flips) (XLA view path), leading dim = batch
             images = images.astype(dtype)
             b = images.shape[0]
             n = n_views + 1
@@ -374,16 +476,38 @@ class TTAEngine:
                 # both resample GEMMs and the flip stay in VMEM — removes
                 # the wy/wx/t/rev HBM materializations of the XLA view
                 # pipeline (scripts/trace_bench.py; ops/view_kernel.py)
-                cy, cx, inv = sample_view_centers(
-                    keys, b, n, images.shape[2:], cfg.image_resolution, crop_scale
-                )
+                cy, cx, inv = spec
                 views = fused_views_nchw(
                     images, cy, cx, inv, cfg.image_resolution,
                     interpret=jax.default_backend() != "tpu",
+                    quantize=embed_impl == "conv_i8",
                 )  # [B, N, C, o, q]
                 p = cfg.vision_patch_size
                 g = cfg.image_resolution // p
-                if embed_impl == "conv":
+                if embed_impl == "conv_i8":
+                    k_q, k_sc, b_i8 = embed_q
+                    vq = views.reshape(b * n, 3, g * p, g * p)
+                    if jax.default_backend() == "tpu":
+                        acc = jax.lax.conv_general_dilated(
+                            vq, k_q, (p, p), "VALID",
+                            dimension_numbers=("NCHW", "OIHW", "NHWC"),
+                            preferred_element_type=jnp.int32,
+                        ).reshape(b * n, g * g, -1)
+                    else:
+                        # im2col s32 dot — same integers on backends
+                        # without the int8 conv lowering (CPU tests)
+                        x6 = (
+                            vq.reshape(b * n, 3, g, p, g, p)
+                            .transpose(0, 2, 4, 1, 3, 5)
+                            .reshape(b * n, g * g, -1)
+                        )
+                        acc = jax.lax.dot_general(
+                            x6, k_q.reshape(k_q.shape[0], -1),
+                            (((2,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                    tokens = acc.astype(jnp.float32) * k_sc + b_i8
+                elif embed_impl == "conv":
                     # stride-p conv with NHWC output (no output transpose).
                     # XLA's TPU conv lowering handles the patch regroup
                     # that the explicit 6D dot paid ~5.8 ms of layout
@@ -403,8 +527,9 @@ class TTAEngine:
                         preferred_element_type=jnp.float32,
                     ).reshape(b * n, g * g, -1) + fold_bias
             else:
-                views = device_tta_views_nhcw(
-                    images, keys, n_views, cfg.image_resolution, crop_scale
+                boxes, flips = spec
+                views = tta_views_nhcw_from_boxes(
+                    images, boxes, flips, cfg.image_resolution
                 )  # [B, N+1, o, C, q] — center view first
                 flat = views.reshape((b * n,) + views.shape[2:])
                 tokens = embed_views_nhcw(flat, w4, fold_bias)
@@ -422,11 +547,11 @@ class TTAEngine:
             return solve_mta_batch(feats, text_weights, self.mta)
 
         def features_from_images_key(params, images, text_weights, key):
-            # single-device path: split in-jit — one dispatch per batch
-            # (a separate host-side split costs a full tunnel round trip
-            # per iteration on remote-attached chips)
-            keys = jax.random.split(key, images.shape[0])
-            return features_from_images_keys(params, images, text_weights, keys)
+            # single-device path: sample in-jit — one dispatch per batch
+            # (a separate host-side sampling step costs a full tunnel round
+            # trip per iteration on remote-attached chips)
+            spec = sample_view_spec(key, images.shape[0], images.shape[2:])
+            return features_from_images_spec(params, images, text_weights, spec)
 
         self.mesh = mesh
         if mesh is None:
@@ -440,10 +565,7 @@ class TTAEngine:
             # its slice of the (padded) batch
             from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax import shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map
+            shard_map = _import_shard_map()
 
             axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
             self._data_axis = axis
@@ -461,12 +583,25 @@ class TTAEngine:
                 return jax.jit(
                     shard_map(
                         f, mesh=mesh, in_specs=specs, out_specs=bs,
-                        check_vma=False,
+                        check_vma=False,  # pallas_call outputs carry no vma
                     )
                 )
 
+            def features_from_images_dp(params, images, text_weights, key):
+                # crop geometry for the WHOLE padded batch from one key,
+                # computed outside the shard_map (tiny tensors) and sharded
+                # with the images — byte-identical to the 1-device path
+                spec = sample_view_spec(key, images.shape[0], images.shape[2:])
+                return shard_map(
+                    features_from_images_spec,
+                    mesh=mesh,
+                    in_specs=(rp, bs, rp, bs),  # bs broadcasts over the spec tree
+                    out_specs=bs,
+                    check_vma=False,  # pallas_call outputs carry no vma
+                )(params, images, text_weights, spec)
+
             self._features_from_crops = sharded(features_from_crops, {1}, 3)
-            self._features_from_images = sharded(features_from_images_keys, {1, 3}, 4)
+            self._features_from_images = jax.jit(features_from_images_dp)
             self._cloud_features = sharded(cloud_features, {1}, 2)
             self._mta_from_features = sharded(mta_from_features, {0}, 2)
 
@@ -513,16 +648,15 @@ class TTAEngine:
             return self._features_from_images(
                 self._params, images, text_weights, key
             )
-        b_pad = b + ((-b) % self._n_data)
-        # per-image keys split on the GLOBAL padded batch: the first b
-        # keys equal a b-way split (prefix property), so modes match the
+        # the crop geometry is drawn for the padded batch inside the jit
+        # from this one key (batch-shaped draws have the prefix property:
+        # the first b rows equal a b-sized draw), so modes match the
         # single-device path exactly
-        keys = jax.random.split(key, b_pad)
         out = self._features_from_images(
             self._params,
             self._put_batch(self._pad_batch(images)),
             self._put_repl(text_weights),
-            self._put_batch(keys),
+            key,
         )
         return out[:b]
 

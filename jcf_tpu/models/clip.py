@@ -316,10 +316,11 @@ def vision_ln_z_amax(
       2: amax of the attention context (out-proj quantizer input)
       3: amax of the post-QuickGELU MLP hidden (c_proj quantizer input)
 
-    ``with_scores=True`` appends a 5th column: amax of the scaled
-    attention scores q.k/sqrt(d) — the max-free softmax shift
-    calibration (softmax is shift-invariant for ANY constant, so the
-    kernels only need a bound that keeps exp() out of f32 overflow; see
+    ``with_scores=True`` appends two columns: amax of the scaled
+    attention scores q.k/sqrt(d), and the MIN over rows of the per-row
+    score max — the max-free softmax shift calibration (softmax is
+    shift-invariant for ANY constant; the shift must keep exp() below f32
+    overflow AND above underflow for the weakest row, see
     quantize_clip_params(act_static=("score",))).
 
     These are the statistics the static-scale int8 kernels consume: a
@@ -361,9 +362,13 @@ def vision_ln_z_amax(
             kh = qkv[..., n_heads * head_dim : 2 * n_heads * head_dim].reshape(
                 bsz, s, n_heads, head_dim
             )
-            a_sc = jnp.max(jnp.abs(
-                jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(jnp.float32(head_dim))
-            ))
+            sc = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(
+                jnp.float32(head_dim)
+            )
+            a_sc = jnp.max(jnp.abs(sc))
+            # weakest row's max: lower-bounds how far a valid shift can sit
+            # above any row (exp underflow guard, ADVICE r3)
+            a_sc_rowmin = jnp.min(jnp.max(sc, axis=-1))
         ctx = multi_head_attention(
             h1, layer["attn"], cfg.vision_heads, None, impl="xla",
             return_pre_proj=True,
@@ -386,9 +391,9 @@ def vision_ln_z_amax(
         )
         cols = [a1, a2, a_ctx, a_h]
         if with_scores:
-            cols.append(a_sc)
+            cols.extend([a_sc, a_sc_rowmin])
         rows.append(jnp.stack(cols))
-    return jnp.stack(rows)  # [L, 4] or [L, 5]
+    return jnp.stack(rows)  # [L, 4] or [L, 6]
 
 
 def _patchify(images: jax.Array, patch: int) -> jax.Array:

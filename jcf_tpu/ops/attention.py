@@ -210,15 +210,59 @@ def packed_attention(qkv: jax.Array, n_heads: int, bias: jax.Array | None = None
                      *, interpret: bool = False) -> jax.Array:
     """[B, S, 3E] packed qkv -> [B, S, E] attention context, one fused
     Pallas program per crop group. `bias` is an optional [S, S] additive
-    mask (text causal)."""
+    mask (text causal).
+
+    Differentiable: the Pallas kernel runs the forward; the backward pass
+    linearizes the mathematically-identical XLA formulation (a Pallas
+    program has no automatic VJP), so LoRA training on TPU keeps the fused
+    forward (attention sits under ``jax.grad`` in both training stages)."""
+    full_bias = (
+        jnp.zeros(
+            (qkv.shape[1], qkv.shape[1]), jnp.float32
+        ) if bias is None else bias.astype(jnp.float32)
+    )
+    return _packed_attention_ad(qkv, n_heads, full_bias, interpret)
+
+
+def _packed_attention_ref(qkv, n_heads, full_bias):
+    """The same function as the packed kernel, in plain XLA ops (backward
+    rule + non-TPU fallback)."""
+    b, s, three_e = qkv.shape
+    e = three_e // 3
+    d = e // n_heads
+    q3 = qkv.reshape(b, s, 3, n_heads, d)
+    q, k, v = (jnp.moveaxis(q3[:, :, i], 2, 1) for i in range(3))  # [B,H,S,D]
+    out = _attention_xla(q, k, v, full_bias)
+    return jnp.moveaxis(out, 1, 2).reshape(b, s, e)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+def _packed_attention_ad(qkv, n_heads, full_bias, interpret):
+    return _packed_attention_impl(qkv, n_heads, full_bias, interpret)
+
+
+def _packed_attention_ad_fwd(qkv, n_heads, full_bias, interpret):
+    return _packed_attention_impl(qkv, n_heads, full_bias, interpret), (
+        qkv, full_bias,
+    )
+
+
+def _packed_attention_ad_bwd(n_heads, interpret, res, g):
+    qkv, full_bias = res
+    _, vjp = jax.vjp(
+        lambda qk, bb: _packed_attention_ref(qk, n_heads, bb), qkv, full_bias
+    )
+    return vjp(g.astype(qkv.dtype))
+
+
+_packed_attention_ad.defvjp(_packed_attention_ad_fwd, _packed_attention_ad_bwd)
+
+
+def _packed_attention_impl(qkv, n_heads, full_bias, interpret):
     b, s, three_e = qkv.shape
     e = three_e // 3
     d = e // n_heads
     precision = _HI if qkv.dtype == jnp.float32 else None
-
-    full_bias = (
-        jnp.zeros((s, s), jnp.float32) if bias is None else bias.astype(jnp.float32)
-    )
 
     group = 8
     while b % group:

@@ -94,7 +94,7 @@ def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
     gate the approximation. With a [L, 4+] ``act_scales``, ``act_static``
     selects which of the extra quants go static ("ctx", "hidden") — the
     post-LN pair is always static when calibration is present. With a
-    [L, 5] calibration (vision_ln_z_amax(with_scores=True)), "score" in
+    [L, 6] calibration (vision_ln_z_amax(with_scores=True)), "score" in
     ``act_static`` additionally emits the max-free-softmax shift the
     mask-free attention kernels use to skip the per-row score max.
     """
@@ -168,17 +168,23 @@ def quantize_clip_params(params: dict, *, fold: bool = False, heads=None,
                             w_scale=tree["mlp"]["c_proj"].w_scale
                             * (ah[:, 1] / 127.0)[:, None]
                         )
-                if a.shape[1] >= 5 and "score" in act_static:
+                if a.shape[1] >= 6 and "score" in act_static:
                     # max-free softmax shift: softmax is invariant to ANY
-                    # constant shift, so correctness only needs exp() to
-                    # stay inside f32 range. M = calibrated score amax
-                    # minus 40 leaves e^40 of intended dynamic range and
-                    # ~e^48 of overflow headroom above the calibration;
-                    # rows far below M just scale down (f32 relative
-                    # precision keeps the ratios). The kernels then skip
-                    # the per-row max reduction over the scores tile.
+                    # constant shift, so correctness needs exp() inside
+                    # f32 range on both sides. Upper: M = calibrated score
+                    # amax minus 40 leaves ~e^48 of overflow headroom
+                    # above the calibration. Lower (ADVICE r3): the
+                    # unnormalized probabilities are cast to bf16, whose
+                    # smallest normal is ~1.2e-38 = e^-87.3 — a row whose
+                    # max score sits 87+ below the shift underflows to a
+                    # ~zero context with no NaN to catch it. Clamping the
+                    # shift to (weakest calibrated row max) + 80 keeps
+                    # every row's exp >= e^-80 with margin; rows weaker
+                    # than anything seen in calibration remain the
+                    # residual risk (the bench cert gates the config).
                     tree["attn"]["score_shift"] = jnp.maximum(
-                        a[:, 4] / act_margin - 40.0, 0.0
+                        jnp.minimum(a[:, 4] / act_margin - 40.0, a[:, 5] + 80.0),
+                        0.0,
                     ).reshape(-1, 1, 1)
             return tree
         return {

@@ -62,8 +62,8 @@ def _view_kernel(
     cy_ref,      # [1, V, out] f32 row centers
     cx_ref,      # [1, V, out] f32 col centers (flip already folded)
     inv_ref,     # [1, V, 2] f32 inverse supports (y, x)
-    out_ref,     # [1, V, C, out, out] bf16 views, NCHW
-    *, n_views, out_size, channels, h_src, w_src,
+    out_ref,     # [1, V, C, out, out] views, NCHW (bf16, or int8 pixels)
+    *, n_views, out_size, channels, h_src, w_src, quantize=False,
 ):
     # Mosaic rejects sublane<->lane shape casts and strided middle-dim
     # stores, so the patch regroup stays outside; in-kernel everything is
@@ -87,6 +87,14 @@ def _view_kernel(
                 t, wxt, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [out, out]
+            if quantize:
+                # exact affine int8 pixel quantization: resampled values
+                # are convex combinations of [0,1] pixels, so
+                # q = round(v*254 - 127) spans the full int8 range and
+                # dequantizes as (q+127)/254 — the +127 offset folds into
+                # the patch-embed bias (engine "conv_i8" path). 8-bit
+                # steps == the JPEG source precision.
+                view = jnp.clip(jnp.round(view * 254.0 - 127.0), -127, 127)
             out_ref[0, v, c] = view.astype(out_ref.dtype)
 
 
@@ -100,27 +108,15 @@ def sample_view_centers(
 ):
     """Boxes -> per-view output-pixel centers + inverse supports, with the
     center crop as view 0 and horizontal flips folded into mirrored column
-    centers. Same box distribution as engine.sample_crop_boxes.
-
-    ``key`` is either one PRNG key (split over the batch here) or a
-    pre-split [batch, 2] per-image key array — pre-splitting lets a DP
-    caller shard the keys over the batch axis (each shard must derive its
-    own images' crops, not re-derive the whole batch's)."""
-    from jcf_tpu.infer.engine import sample_crop_boxes
+    centers. Same box distribution as engine.sample_tta_boxes (one key,
+    batched draws — no per-image key splits; a DP caller computes the
+    whole batch's centers once and shards them with the images)."""
+    from jcf_tpu.infer.engine import sample_tta_boxes
 
     h_src, w_src = src_hw
-    keys = jax.random.split(key, batch) if key.ndim == 1 else key
-    boxes, flips = jax.vmap(
-        lambda k: sample_crop_boxes(k, n_views - 1, (h_src, w_src), scale)
-    )(keys)  # [B, V-1, 4], [B, V-1]
-    center = jnp.array(
-        [(h_src - out_size) // 2, (w_src - out_size) // 2, out_size, out_size],
-        jnp.float32,
+    boxes, flips = sample_tta_boxes(
+        key, batch, n_views - 1, (h_src, w_src), out_size, scale
     )
-    boxes = jnp.concatenate(
-        [jnp.broadcast_to(center, (batch, 1, 4)), boxes], axis=1
-    )
-    flips = jnp.concatenate([jnp.zeros((batch, 1), bool), flips], axis=1)
 
     top, left = boxes[..., 0], boxes[..., 1]
     hh, ww = boxes[..., 2], boxes[..., 3]
@@ -145,20 +141,23 @@ def fused_views_nchw(
     out_size: int,
     *,
     interpret: bool = False,
+    quantize: bool = False,
 ) -> jax.Array:
     """-> [B, V, C, out, out] NCHW TTA views, value-identical to
     ``device_tta_views_nhcw`` (transposed) for the same boxes;
     interpolation weights, both resample GEMMs and the flip all stay in
     VMEM (one image per program) instead of materializing wy/wx/t/rev in
-    HBM."""
+    HBM. ``quantize=True`` emits int8 pixels ``round(v*254 - 127)`` for
+    the int8 patch embed (halves the views' HBM bytes)."""
     b, c, h, w = images.shape
     n_views = cy.shape[1]
+    out_dtype = jnp.int8 if quantize else images.dtype
 
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(
             _view_kernel, n_views=n_views, out_size=out_size,
-            channels=c, h_src=h, w_src=w,
+            channels=c, h_src=h, w_src=w, quantize=quantize,
         ),
         grid=(b,),
         in_specs=[
@@ -171,7 +170,7 @@ def fused_views_nchw(
             (1, n_views, c, out_size, out_size), lambda i: (i, 0, 0, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (b, n_views, c, out_size, out_size), images.dtype
+            (b, n_views, c, out_size, out_size), out_dtype
         ),
         interpret=interpret,
     )(images, cy, cx, inv)

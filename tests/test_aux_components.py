@@ -197,3 +197,46 @@ def test_yaml_config(tmp_path):
     dump_config(cfg, str(tmp_path / "out.yaml"))
     cfg2 = load_config(str(tmp_path / "out.yaml"))
     assert cfg2.stage1.epochs == 3
+
+
+def test_text_classifier_cache(tmp_path):
+    """build_text_weights persists the built classifier keyed by the text
+    tower's bytes + templates; a second invocation loads it without
+    re-encoding (VERDICT r3 #7 — serving cold-start)."""
+    import dataclasses
+
+    from jcf_tpu.config import PipelineConfig
+    from jcf_tpu.models import CLIPConfig, init_clip_params
+    from jcf_tpu.pipelines import common
+
+    mcfg = CLIPConfig(
+        embed_dim=48, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=16, text_width=64, text_heads=2, text_layers=2,
+    )
+    params = init_clip_params(0, mcfg)
+    templates = {0: ["a photo of a cat."], 1: ["a photo of a dog."]}
+    base = PipelineConfig()
+    cfg = dataclasses.replace(
+        base, runtime=dataclasses.replace(
+            base.runtime, classifier_cache=str(tmp_path / "cache")
+        )
+    )
+
+    w1 = np.asarray(common.build_text_weights(params, mcfg, templates, cfg))
+    files = list((tmp_path / "cache").glob("text_classifier_*.npy"))
+    assert len(files) == 1
+
+    # second call must not re-encode: poison the builder
+    orig = common.build_classifier_weights
+    common.build_classifier_weights = None
+    try:
+        w2 = np.asarray(common.build_text_weights(params, mcfg, templates, cfg))
+    finally:
+        common.build_classifier_weights = orig
+    np.testing.assert_allclose(w1, w2)
+
+    # different templates -> different key -> rebuild
+    templates2 = {0: ["a photo of a cat."], 1: ["a photo of a bird."]}
+    w3 = np.asarray(common.build_text_weights(params, mcfg, templates2, cfg))
+    assert len(list((tmp_path / "cache").glob("text_classifier_*.npy"))) == 2
+    assert np.abs(w3 - w1).max() > 0

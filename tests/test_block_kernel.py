@@ -271,7 +271,7 @@ def test_fused_tower_max_free_softmax():
         params, cfg, jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32)),
         with_scores=True,
     ))
-    assert amax.shape[1] == 5
+    assert amax.shape[1] == 6
     q_base = quantize_clip_params(
         params, fold=True, heads={"visual": 2, "text": 2},
         act_scales={"visual": amax}, act_static=(),

@@ -132,6 +132,30 @@ def test_engine_device_crop_path_runs():
     )
 
 
+def test_engine_int8_embed_tracks_float():
+    """conv_i8 patch embed (int8 pixels + int8 weights, PERF.md r4): the
+    exact +127 offset fold means only the 1/254 pixel rounding and the
+    per-channel weight rounding differ from the float path."""
+    params = init_clip_params(0, TINY)
+    images = jnp.asarray(RNG.random((2, 3, 40, 40)).astype(np.float32))
+    text = jnp.asarray(RNG.standard_normal((7, 48)).astype(np.float32))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(3)
+
+    ref = TTAEngine(params, TINY, impl="xla", n_views=4, normalize_views=True)
+    q = TTAEngine(
+        params, TINY, impl="xla", n_views=4, normalize_views=True,
+        embed_impl="conv_i8",
+    )
+    m_ref = np.asarray(ref.features_from_images(images, text, key))
+    m_q = np.asarray(q.features_from_images(images, text, key))
+    assert np.isfinite(m_q).all()
+    cos = np.sum(m_ref * m_q, -1) / (
+        np.linalg.norm(m_ref, axis=-1) * np.linalg.norm(m_q, axis=-1)
+    )
+    assert cos.min() > 0.99, cos
+
+
 def test_ensemble_formulas():
     d, c = 8, 5
     g = lambda *s: jnp.asarray(RNG.standard_normal(s).astype(np.float32))

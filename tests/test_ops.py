@@ -131,3 +131,27 @@ def test_packed_attention_matches_xla():
             ref = jnp.moveaxis(ref, 1, 2).reshape(b, s, e)
             out = packed_attention(qkv, h, mask, interpret=True)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_attention_grad_matches_xla():
+    """packed_attention carries a custom VJP (XLA-derived backward) so the
+    fused forward stays usable under jax.grad in the training stages."""
+    from jcf_tpu.ops.attention import packed_attention, _packed_attention_ref
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    b, s, h, d = 2, 6, 4, 8
+    e = h * d
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * e)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((b, s, e)).astype(np.float32))
+    mask = causal_mask(s)
+
+    g_pl = jax.grad(
+        lambda x: jnp.sum(packed_attention(x, h, mask, interpret=True) * cot)
+    )(qkv)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(_packed_attention_ref(x, h, mask.astype(jnp.float32)) * cot)
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref), atol=1e-5)
