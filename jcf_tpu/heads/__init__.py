@@ -24,9 +24,13 @@ def init_channel_lp(
     feat_dim: int = 512,
     text_weights: Optional[jax.Array] = None,
 ) -> dict:
-    """text_weights: zero-shot classifier [C, D] used as fc init."""
+    """text_weights: zero-shot classifier [C, D] used as fc init.
+
+    Copied (jnp.array), never aliased: the classifier typically also rides
+    in the training step's frozen-argument tree, and one buffer arriving
+    both donated (trainable) and not (frozen) is a runtime error."""
     fc_w = (
-        jnp.asarray(text_weights, jnp.float32)
+        jnp.array(text_weights, jnp.float32)
         if text_weights is not None
         else jnp.zeros((num_classes, feat_dim), jnp.float32)
     )
@@ -47,9 +51,10 @@ def init_moco_adapter(
     feat_dim: int = 2048,
     class_feature_sums: Optional[jax.Array] = None,
 ) -> dict:
-    """class_feature_sums: [C, D] per-class sums of train MoCo features."""
+    """class_feature_sums: [C, D] per-class sums of train MoCo features.
+    Copied, never aliased (see init_channel_lp)."""
     fc_w = (
-        jnp.asarray(class_feature_sums, jnp.float32)
+        jnp.array(class_feature_sums, jnp.float32)
         if class_feature_sums is not None
         else jnp.zeros((num_classes, feat_dim), jnp.float32)
     )

@@ -303,7 +303,7 @@ class TTAEngine:
         mesh=None,  # jax.sharding.Mesh with a "data" axis -> DP serving
         calibration_images=None,  # [B, 3, H, W] sample -> static act quant
         static_quant_mode: str = "hidden",  # "ln" (post-LN) | "hidden" (+post-GELU) | "full" (+ctx)
-        embed_impl: str = "conv",  # "conv" | "conv_i8" (int8 MXU) | "dot6"
+        embed_impl: Optional[str] = None,  # None=auto | "conv" | "conv_i8" | "dot6"
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -312,12 +312,26 @@ class TTAEngine:
         self.crop_scale = crop_scale
         self.normalize_views = normalize_views
         self.mta = mta_params
+        if embed_impl is None:
+            # int8 engines take the int8 patch embed by default (the same
+            # ranking cert that gates the int8 towers gates it)
+            embed_impl = "conv_i8" if quant == "int8" else "conv"
         # pre-cast the tower weights to the compute dtype once — casting
-        # ~150M params inside every call costs HBM bandwidth and kernels
-        self._params = jax.tree_util.tree_map(
-            lambda x: x.astype(dtype) if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
-            params,
-        )
+        # ~150M params inside every call costs HBM bandwidth and kernels.
+        # ONE jitted program (not per-leaf ops): on a tunnel-attached chip
+        # every tiny op costs a remote compile that is too quick for the
+        # persistent cache to keep, so per-leaf casting alone ran minutes
+        # per process (bench phase marks, r4); a single program persists.
+        self._params = jax.jit(
+            lambda p: jax.tree_util.tree_map(
+                lambda x: (
+                    x.astype(dtype)
+                    if hasattr(x, "astype") and x.dtype == jnp.float32
+                    else x
+                ),
+                p,
+            )
+        )(params)
         # optional W8A8 serving mode: block matmul weights quantized once.
         # On the fused-kernel path the LN affine and attention scale fold
         # into the int8 weights at quantization time (exact; PERF.md r3) —
@@ -386,12 +400,22 @@ class TTAEngine:
                 if with_scores:
                     act_static = act_static + ("score",)
                 act_scales = {"visual": amax}
-            self._quant_visual = quantize_clip_params(
-                params, fold=fold,
-                heads={"visual": cfg.vision_heads, "text": cfg.text_heads},
-                act_scales=act_scales,
-                act_static=act_static,
-            )["visual"]
+            # one jitted program for the whole quantize+fold (same tunnel
+            # tiny-compile reasoning as the cast above)
+            heads_ = {"visual": cfg.vision_heads, "text": cfg.text_heads}
+            if act_scales is None:
+                self._quant_visual = jax.jit(
+                    lambda p: quantize_clip_params(
+                        p, fold=fold, heads=heads_, act_static=act_static
+                    )["visual"]
+                )(params)
+            else:
+                self._quant_visual = jax.jit(
+                    lambda p, a: quantize_clip_params(
+                        p, fold=fold, heads=heads_,
+                        act_scales={"visual": a}, act_static=act_static,
+                    )["visual"]
+                )(params, act_scales["visual"])
             self._quant_folded = fold
         elif quant is not None:
             raise ValueError(f"unknown quant mode {quant!r}")
@@ -441,16 +465,19 @@ class TTAEngine:
             # pixel offset folds into the bias using the EXACT folded
             # weight: conv((q+127)/254, W) = conv(q, W)/254 + rowsum(W) *
             # 127/254. Only the weight-side int8 rounding approximates.
-            kern_f = jnp.transpose(w4_f32, (3, 0, 1, 2))  # [E, C, p, p]
-            flat = kern_f.reshape(kern_f.shape[0], -1)
-            kscale = jnp.maximum(jnp.max(jnp.abs(flat), axis=1) / 127.0, 1e-8)
-            k_q = (
-                jnp.clip(jnp.round(flat / kscale[:, None]), -127, 127)
-                .astype(jnp.int8)
-                .reshape(kern_f.shape)
-            )
-            bias_i8 = fold_bias + jnp.sum(flat, axis=1) * (127.0 / 254.0)
-            embed_q = (k_q, (kscale / 254.0).astype(jnp.float32), bias_i8)
+            def _embed_quant(w4f, fb):
+                kern_f = jnp.transpose(w4f, (3, 0, 1, 2))  # [E, C, p, p]
+                flat = kern_f.reshape(kern_f.shape[0], -1)
+                kscale = jnp.maximum(jnp.max(jnp.abs(flat), axis=1) / 127.0, 1e-8)
+                k_q = (
+                    jnp.clip(jnp.round(flat / kscale[:, None]), -127, 127)
+                    .astype(jnp.int8)
+                    .reshape(kern_f.shape)
+                )
+                bias_i8 = fb + jnp.sum(flat, axis=1) * (127.0 / 254.0)
+                return k_q, (kscale / 254.0).astype(jnp.float32), bias_i8
+
+            embed_q = jax.jit(_embed_quant)(w4_f32, fold_bias)
 
         def sample_view_spec(key, b, src_hw):
             # the whole batch's crop geometry from ONE key, outside the
@@ -485,6 +512,13 @@ class TTAEngine:
                 p = cfg.vision_patch_size
                 g = cfg.image_resolution // p
                 if embed_impl == "conv_i8":
+                    # int8 conv on TPU: XLA has no true int8 conv lowering
+                    # (the trace shows a convolution_convert_fusion, ~11 ms
+                    # at b512 vs 2.4 int8-GEMM-ideal) — but the measured
+                    # alternatives are WORSE in context: explicit im2col +
+                    # int8 dot benched 3235 vs 3347 img/s (int8 relayouts
+                    # through a 6D transpose), bf16 conv 3340. The int8
+                    # pixels still halve the views' HBM bytes.
                     k_q, k_sc, b_i8 = embed_q
                     vq = views.reshape(b * n, 3, g * p, g * p)
                     if jax.default_backend() == "tpu":
@@ -495,7 +529,7 @@ class TTAEngine:
                         ).reshape(b * n, g * g, -1)
                     else:
                         # im2col s32 dot — same integers on backends
-                        # without the int8 conv lowering (CPU tests)
+                        # without an int8 conv path (CPU tests)
                         x6 = (
                             vq.reshape(b * n, 3, g, p, g, p)
                             .transpose(0, 2, 4, 1, 3, 5)

@@ -180,8 +180,15 @@ def _run_blocks(
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
     quant_folded: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Scan the stacked residual blocks over [B, S, E] activations.
+
+    remat: rematerialize each block in the backward pass (training path) —
+    without it the saved per-layer attention probabilities/hiddens of the
+    two towers OOM a 16 GB chip at the reference batch sizes (stage-1
+    bs 256 measured 16.7 GB); with per-layer remat only the [B, S, E]
+    layer inputs are kept, traded for ~1/3 more backward FLOPs.
 
     deep_prompts: [L-ish, n_prompt, E] per-layer prompt replacements for
     layers 1..depth-1 (IVLP deep prompting, jclip/model1.py:97-121);
@@ -297,6 +304,8 @@ def _run_blocks(
             slots[pos] = val
         return body(carry, tuple(slots))
 
+    if remat:
+        scan_body = jax.checkpoint(scan_body)
     (x, _), _ = jax.lax.scan(scan_body, (x, jnp.int32(0)), tuple(streams))
     return x
 
@@ -475,6 +484,7 @@ def encode_image(
     quant: Optional[dict] = None,
     quant_folded: bool = False,
     layout: str = "nchw",
+    remat: bool = False,
 ) -> jax.Array:
     """Image features [B, embed_dim] (pre-normalization), as
     ``jclip/model.py:104-126`` / prompted ``model1.py:180-207``."""
@@ -484,7 +494,7 @@ def encode_image(
     x = linear(x, v["patch_embed"]["w"].astype(dtype))  # [B, G², W]
     return encode_image_tokens(
         params, cfg, x, dtype=dtype, impl=impl, lora_ctx=lora_ctx, quant=quant,
-        quant_folded=quant_folded,
+        quant_folded=quant_folded, remat=remat,
     )
 
 
@@ -498,6 +508,7 @@ def encode_image_tokens(
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
     quant_folded: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Vision tower from embedded patch tokens (CLS prepend onward)."""
     v = params["visual"]
@@ -532,6 +543,7 @@ def encode_image_tokens(
         lora_ctx=lora_ctx,
         quant=quant,
         quant_folded=quant_folded,
+        remat=remat,
     )
 
     x = layer_norm(x[:, 0], v["ln_post"]["scale"], v["ln_post"]["bias"])
@@ -551,6 +563,7 @@ def encode_text_embeddings(
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Text features from pre-built token embeddings [B, 77, tw].
 
@@ -572,6 +585,7 @@ def encode_text_embeddings(
         impl=impl,
         lora_ctx=lora_ctx,
         quant=quant,
+        remat=remat,
     )
     x = layer_norm(x, t["ln_final"]["scale"], t["ln_final"]["bias"])
     x = x[jnp.arange(x.shape[0]), eot_positions]  # EOT gather
@@ -590,6 +604,7 @@ def encode_text(
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
     quant: Optional[dict] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Text features [B, embed_dim] from int token ids [B, 77]
     (``jclip/model.py:202-215``; EOT position = argmax of ids since EOT is
@@ -599,7 +614,7 @@ def encode_text(
     eot = jnp.argmax(token_ids, axis=-1)
     return encode_text_embeddings(
         params, cfg, emb, eot, dtype=dtype, impl=impl, lora_ctx=lora_ctx,
-        quant=quant,
+        quant=quant, remat=remat,
     )
 
 

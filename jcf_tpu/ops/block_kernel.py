@@ -37,6 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HI = jax.lax.Precision.HIGHEST
 _NEG_INF = -1e30
+# Run the widest VPU epilogues (the [rows, 3072] MLP dequant+GELU+requant
+# chain, the attention exp) at bf16 instead of f32 — half the vector
+# elements per op on values that feed an int8 quantizer anyway. A/B knob
+# (JCF_BENCH_EPI_BF16); cert-gated.
+_EPI_BF16 = False
+# All head-pairs in one tile-aligned dot per attention stage instead of a
+# per-pair loop (3 small dots x 6 pairs x 12 layers x 64 tiles per b512
+# iteration): see _batched_pairs_attention_nomask. A/B knob
+# (JCF_BENCH_ATTN_BATCHPAIRS); requires s_pad <= 64.
+_ATTN_BATCHPAIRS = False
 
 
 def _ln_rows(x, scale, bias, eps=1e-5):
@@ -56,6 +66,13 @@ def _ln_norm(x, eps=1e-5):
     return (x32 - mean) * jax.lax.rsqrt(var + eps)
 
 
+def _round_f32(x):
+    """round-to-nearest-even, via f32: Mosaic cannot legalize
+    math.roundeven on bf16 operands (measured r4) — the _EPI_BF16 chains
+    run everything else half-wide and pay one f32 pass here."""
+    return jnp.round(x if x.dtype == jnp.float32 else x.astype(jnp.float32))
+
+
 def _quant_rows(x32):
     """Dynamic per-row symmetric int8: (values int8, scale [rows, 1] f32).
     Runs on rows already resident in VMEM — the quantization passes that
@@ -65,8 +82,8 @@ def _quant_rows(x32):
     activation element in the tower."""
     amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-8)
     inv = 127.0 / amax
-    q = jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
-    return q, amax * (1.0 / 127.0)
+    q = jnp.clip(_round_f32(x32 * inv), -127, 127).astype(jnp.int8)
+    return q, (amax * (1.0 / 127.0)).astype(jnp.float32)
 
 
 def _quick_gelu32(h):
@@ -78,25 +95,31 @@ def _quick_gelu32(h):
     return h * jax.nn.sigmoid(1.702 * h)
 
 
-def _quant_rows_static(x32, inv):
+def _quant_rows_static(x, inv):
     """Static-scale symmetric int8 (inv = 127/amax_calibrated, scalar);
-    the dequant scale amax/127 is pre-folded into the weight scales."""
-    return jnp.clip(jnp.round(x32 * inv), -127, 127).astype(jnp.int8)
+    the dequant scale amax/127 is pre-folded into the weight scales.
+    The scale multiply runs in x's dtype (bf16 on the _EPI_BF16 path);
+    the round must be f32 (see _round_f32)."""
+    return jnp.clip(_round_f32(x * inv.astype(x.dtype)), -127, 127).astype(jnp.int8)
 
 
-def _int8_gemm(x_q, x_scale, w_int8_ref, w_scale_ref, bias_ref):
+def _int8_gemm(x_q, x_scale, w_int8_ref, w_scale_ref, bias_ref,
+               out_dtype=jnp.float32):
     """int8 x int8 -> int32 MXU GEMM with per-row/per-channel rescale.
     w layout: [out, in] int8 + [out] f32 scale (+ [out] f32 bias).
-    x_scale=None: static activation scale already folded into w_scale."""
+    x_scale=None: static activation scale already folded into w_scale.
+    ``out_dtype=bfloat16`` runs the dequant epilogue at half width
+    (_EPI_BF16 path: the int32->bf16 cast rounds the accumulated dot to
+    8 mantissa bits, ~0.4% relative — on par with the int8 input noise)."""
     acc = jax.lax.dot_general(
         x_q, w_int8_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * w_scale_ref[...].astype(jnp.float32)
+    y = acc.astype(out_dtype) * w_scale_ref[...].astype(out_dtype)
     if x_scale is not None:
-        y = y * x_scale
+        y = y * x_scale.astype(out_dtype)
     if bias_ref is not None:
-        y = y + bias_ref[...].astype(jnp.float32)
+        y = y + bias_ref[...].astype(out_dtype)
     return y
 
 
@@ -124,6 +147,12 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
         if use_mask:
             return _paired_attention(
                 q3, bias, n_heads, head_dim, scale, group, s_pad, precision
+            )
+        if _ATTN_BATCHPAIRS and s_pad <= 64 and not _INT8_ATTN:
+            return _batched_pairs_attention_nomask(
+                q3, n_heads, head_dim, scale, group, s_pad, precision,
+                s_real=s_real if s_real is not None else s_pad,
+                score_shift=score_shift,
             )
         return _paired_attention_nomask(
             q3, n_heads, head_dim, scale, group, s_pad, precision,
@@ -153,6 +182,97 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
             )
         )
     return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
+
+
+def _batched_pairs_attention_nomask(q3, n_heads, head_dim, scale, group,
+                                    s_pad, precision=None, *, s_real,
+                                    score_shift=None):
+    """All head-pairs in ONE dot_general per stage (r4).
+
+    The per-pair loop issues 3 small dot_generals per pair — 18 per tile,
+    13,824 per serving iteration at b512 — and the b512 trace puts the
+    attention half 22 ms over its GEMM ideal while the MLP half sits 8%
+    over: per-op issue/pipeline overhead, not FLOPs. Here the six pairs
+    stack on a new leading batch dim and the key rows pad to 64 per half
+    (fully (8,128)-tile-aligned scores [6G, S, 128]):
+
+      - zero-padded keys/values are harmless WITHOUT masking: zero V rows
+        add nothing to PV, the selector matmul excludes them from the
+        normalizers, and the joint row max over real+zero columns is
+        still a valid softmax stabilizer (max(real, 0) >= real max);
+      - one scores dot, one joint max, one exp, one PV, one selector
+        matmul, one reciprocal multiply — over 6x-bigger operands.
+
+    Stacking writes q as well as k/v (the loop variant only wrote k/v),
+    ~0.5 MB extra VPU moves per tile — traded for 15 fewer MXU ops.
+    """
+    e = n_heads * head_dim
+    d2 = 2 * head_dim
+    np_half = 64  # keys per half, padded (s_real <= 64 asserted by caller)
+    n_pairs = n_heads // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d2), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_half, 1), 1)
+    lo_sel = (lane < head_dim) & (row < s_real)
+    hi_sel = (lane >= head_dim) & (row >= np_half) & (row < np_half + s_real)
+
+    # [2*64, 2D] normalizer selector: 1 where a real key row feeds a half
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (2 * np_half, d2), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (2 * np_half, d2), 1)
+    sel = jnp.where(
+        ((l_i < head_dim) & (r_i < s_real))
+        | ((l_i >= head_dim) & (r_i >= np_half) & (r_i < np_half + s_real)),
+        jnp.float32(1.0),
+        jnp.float32(0.0),
+    )
+
+    # k6/v6 rows [0,64) = head-lo keys (lanes 0..D), [64,128) = head-hi
+    # (lanes D..2D); everything else zero. blk = two stacked copies of the
+    # 64-padded slice, then one select keeps each half's own lanes/rows.
+    def build(slices):
+        out = []
+        for p_idx in range(n_pairs):
+            o = p_idx * d2
+            t = slices[:, :, o : o + d2]  # [G, S_pad, 2D]
+            pad_lo = jnp.pad(t, ((0, 0), (0, np_half - s_pad), (0, 0)))
+            blk = jnp.concatenate([pad_lo, pad_lo], axis=1)  # [G, 128, 2D]
+            out.append(jnp.where(lo_sel | hi_sel, blk, jnp.zeros_like(blk)))
+        return jnp.stack(out)  # [P, G, 128, 2D]
+
+    k6 = build(q3[:, :, e : 2 * e]).reshape(n_pairs * group, 2 * np_half, d2)
+    v6 = build(q3[:, :, 2 * e : 3 * e]).reshape(n_pairs * group, 2 * np_half, d2)
+    q6 = jnp.stack(
+        [q3[:, :, p_idx * d2 : (p_idx + 1) * d2] for p_idx in range(n_pairs)]
+    ).reshape(n_pairs * group, s_pad, d2)
+
+    scores = jax.lax.dot_general(
+        q6, k6, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [P*G, S, 128]
+    if scale is not None:
+        scores = scores * scale
+    if score_shift is None:
+        m = jnp.max(scores, axis=-1, keepdims=True)
+    else:
+        m = score_shift
+    if _EPI_BF16:
+        p = jnp.exp((scores - m).astype(jnp.bfloat16))
+    else:
+        p = jnp.exp(scores - m)
+    pc = p.astype(v6.dtype)
+    ctx_u = jax.lax.dot_general(
+        pc, v6, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # [P*G, S, 2D]
+    sums = jax.lax.dot_general(
+        pc, sel.astype(v6.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    ctx = (ctx_u * (1.0 / jnp.maximum(sums, 1e-30))).reshape(
+        n_pairs, group, s_pad, d2
+    )
+    return jnp.concatenate(
+        [ctx[i] for i in range(n_pairs)], axis=-1
+    ).reshape(group * s_pad, e)
 
 
 def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
@@ -248,7 +368,12 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
             # calibrated per-layer shift keeps exp() in f32 range and
             # skips the row-max reduction over [G, S, 2S] entirely
             m = score_shift
-        p = jnp.exp(scores - m)
+        if _EPI_BF16 and not _INT8_ATTN:
+            # exp at half vector width; max-subtracted arguments are <= 0
+            # and p feeds a bf16 PV dot anyway (the cast pass disappears)
+            p = jnp.exp((scores - m).astype(jnp.bfloat16))
+        else:
+            p = jnp.exp(scores - m)
         if _INT8_ATTN:
             # p's row max is exactly 1 -> static scale 127; one scalar
             # per-tile v scale keeps the dequant a single multiply
@@ -406,8 +531,14 @@ def _attn_half_int8_kernel(
             x_q, x_sc = _quant_rows_static(h_ln, ln_inv_ref[0, 0]), None
         else:
             x_q, x_sc = _quant_rows(h_ln)
-        qkv = _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref).astype(
-            jnp.bfloat16
+        # _EPI_BF16: dequant straight to bf16 — drops the separate
+        # [rows, 3E] cast pass and runs the mul/bias epilogue half-wide
+        qkv = (
+            _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
+                       out_dtype=jnp.bfloat16)
+            if _EPI_BF16
+            else _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref)
+            .astype(jnp.bfloat16)
         )
         ctx = _batched_attention(
             qkv, bias, n_heads, head_dim, None if folded else scale,
@@ -453,10 +584,16 @@ def _mlp_half_int8_kernel(
         # epilogue can overlap the next block's GEMMs (per-block h_sc is
         # just a finer quantization group — exactness unchanged)
         acc = None
+        # the [rows, 3072] dequant+GELU+requant chain is the widest VPU
+        # tail in the tower; _EPI_BF16 runs it at bf16 (half the vector
+        # width per element; values are int8-quantized right after, so the
+        # 8-bit mantissa is not the precision bottleneck — cert-gated)
+        h_dt = jnp.bfloat16 if _EPI_BF16 else jnp.float32
         for k in range(nsp):
             sl = slice(k * hs, (k + 1) * hs)
             hidden = _int8_gemm(
-                x_q, x_sc, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl]
+                x_q, x_sc, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl],
+                out_dtype=h_dt,
             )
             hidden = _quick_gelu32(hidden)
             if static_h:

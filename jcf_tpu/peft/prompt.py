@@ -76,10 +76,12 @@ def prompt_text_features(
     dtype=jnp.float32,
     impl: Optional[str] = None,
     lora_ctx: Optional[dict] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """Prompt-tuned class text features [C, embed_dim] (un-normalized)."""
     emb = build_prompt_embeddings(learner, ctx)
     eot = jnp.argmax(learner.tokenized, axis=-1)
     return encode_text_embeddings(
-        clip_params, cfg, emb, eot, dtype=dtype, impl=impl, lora_ctx=lora_ctx
+        clip_params, cfg, emb, eot, dtype=dtype, impl=impl, lora_ctx=lora_ctx,
+        remat=remat,
     )

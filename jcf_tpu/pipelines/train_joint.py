@@ -213,11 +213,12 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
         else cfg.stage2.lr
     )
     optimizer = adamw(lr=lr, betas=cfg.stage2.betas, weight_decay=cfg.stage2.weight_decay)
-    init_state, step_fn = make_stage2_step(
+    init_state, step_fn, frozen = make_stage2_step(
         params, mcfg, spec, learner, moco_params, zs_feats, text_zs, text_banks,
         optimizer, logit_scale=cfg.stage2.logit_scale, dtype=dtype, impl=impl,
     )
-    step_fn = jax.jit(step_fn)
+    # frozen weights/caches ride as runtime args, never program constants
+    step_fn = jax.jit(step_fn, donate_argnums=(1,))
     state = init_state(trainable)
     start_epoch = 0
     if cfg.stage2.resume and os.path.exists(cfg.stage2.checkpoint_path):
@@ -262,7 +263,7 @@ def run_train_joint(cfg: PipelineConfig) -> dict:
             bank_idx = int(rng.integers(0, text_banks.shape[0]))
             key, sub = jax.random.split(key)
             state, metrics = step_fn(
-                state, jnp.asarray(images), jnp.asarray(targets),
+                frozen, state, jnp.asarray(images), jnp.asarray(targets),
                 jnp.asarray(index), bank_idx, sub,
             )
             bsz = len(targets)

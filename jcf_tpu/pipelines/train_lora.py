@@ -138,12 +138,14 @@ def run_train_lora(cfg: PipelineConfig) -> dict:
     optimizer = adamw(
         lr=cfg.stage1.lr, betas=cfg.stage1.betas, weight_decay=cfg.stage1.weight_decay
     )
-    init_state, step_fn = make_stage1_step(
+    init_state, step_fn, frozen = make_stage1_step(
         params, mcfg, spec, banks, optimizer,
         logit_scale=cfg.stage1.logit_scale, dtype=compute_dtype(cfg),
         impl=cfg.runtime.attention_impl,
     )
-    step_fn = jax.jit(step_fn)
+    # frozen weights ride as runtime args (donated state), never as
+    # program constants — see make_stage1_step
+    step_fn = jax.jit(step_fn, donate_argnums=(1,))
     state = init_state(lora)
     start_epoch = 0
 
@@ -172,7 +174,8 @@ def run_train_lora(cfg: PipelineConfig) -> dict:
             bank_idx = int(rng.integers(0, banks.shape[0]))
             key, sub = jax.random.split(key)
             state, metrics = step_fn(
-                state, jnp.asarray(images), jnp.asarray(targets), bank_idx, sub
+                frozen, state, jnp.asarray(images), jnp.asarray(targets),
+                bank_idx, sub
             )
             bsz = len(targets)
             epoch_loss += float(metrics["loss"]) * bsz

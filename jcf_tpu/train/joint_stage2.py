@@ -19,9 +19,9 @@ normalizations are applied on device (``tfm_clip``/``tfm_moco``,
 ``slow_pace.py:1273-1274``) so the host ships raw [0,1] pixels once.
 
 Trainables: {lora, ctx, vpt, channel_lp, moco_adapter} — everything else
-(CLIP weights, MoCo tower, caches) is closed over frozen, the functional
-equivalent of the reference's requires_grad masks (``slow_pace.py:
-1556-1586``).
+(CLIP weights, MoCo tower, caches) rides as the ``frozen`` argument tree,
+the functional equivalent of the reference's requires_grad masks
+(``slow_pace.py:1556-1586``).
 """
 
 from __future__ import annotations
@@ -76,9 +76,38 @@ def make_stage2_step(
     impl: Optional[str] = None,
     axis_name: Optional[str] = None,
 ):
-    num_classes = text_features_zs.shape[0]
+    """Returns (init_state_fn, step_fn, frozen).
 
-    def loss_fn(trainable, images, targets, index, bank_idx, rng):
+    ``frozen`` = (clip_params, moco_params, prompt-learner buffers,
+    zs feature cache, zs classifier, zs text banks) and MUST be passed as
+    ``step_fn``'s first argument: closed-over trees become jit program
+    CONSTANTS — at real scale that embeds ~175M frozen weights plus the
+    caches into the lowered program (GBs of StableHLO; see
+    lora_stage1.make_stage1_step).
+    """
+    num_classes = text_features_zs.shape[0]
+    # the frozen clip tree must NOT contain the vpt buffer: trainable["vpt"]
+    # is typically initialized AS params["visual"]["vpt"], and the same
+    # buffer arriving once donated (state) and once not (frozen) is a
+    # runtime error ("f(a, donate(a))"); the loss installs the trainable
+    # vpt into the tree anyway. Same reason the learner rides ctx-less.
+    clip_frozen = dict(clip_params)
+    clip_frozen["visual"] = {
+        k: v for k, v in clip_params["visual"].items() if k != "vpt"
+    }
+    frozen = (
+        clip_frozen,
+        moco_params,
+        learner._replace(ctx=jnp.zeros((0,), jnp.float32)),  # buffers only
+        zs_image_features,
+        text_features_zs,
+        text_banks_zs,
+    )
+
+    def loss_fn(trainable, frozen, images, targets, index, bank_idx, rng):
+        (clip_params, moco_params, learner_frozen, zs_image_features,
+         text_features_zs, text_banks_zs) = frozen
+        learner = learner_frozen
         rng_v1, rng_v2, rng_t = jax.random.split(rng, 3)
         lora = trainable["lora"]
         vis_ctx = make_lora_context(lora, spec, "vision", cfg.vision_layers, rng=rng_v1)
@@ -92,12 +121,14 @@ def make_stage2_step(
 
         # prompt-tuned text features (TextEncoder path)
         text_raw = prompt_text_features(
-            params, cfg, learner, trainable["ctx"], dtype=dtype, impl=impl, lora_ctx=txt_ctx
+            params, cfg, learner, trainable["ctx"], dtype=dtype, impl=impl,
+            lora_ctx=txt_ctx, remat=True,
         )
         text_features = l2_normalize(text_raw)
 
         clip_in = _norm_images(images, CLIP_MEAN, CLIP_STD)
-        img_raw = encode_image(params, cfg, clip_in, dtype=dtype, impl=impl, lora_ctx=vis_ctx)
+        img_raw = encode_image(params, cfg, clip_in, dtype=dtype, impl=impl,
+                               lora_ctx=vis_ctx, remat=True)
         image_features = l2_normalize(img_raw)
 
         cos = logit_scale * image_features @ text_features.T
@@ -121,6 +152,7 @@ def make_stage2_step(
             encode_image(
                 params, cfg, clip_in, dtype=dtype, impl=impl,
                 lora_ctx=make_lora_context(lora, spec, "vision", cfg.vision_layers, rng=rng_v2),
+                remat=True,
             )
         )
         bank = jax.lax.stop_gradient(text_banks_zs[bank_idx])  # [C, D]
@@ -152,9 +184,9 @@ def make_stage2_step(
     def init_state(trainable: dict) -> Stage2State:
         return Stage2State(trainable, optimizer.init(trainable), jnp.zeros((), jnp.int32))
 
-    def step_fn(state: Stage2State, images, targets, index, bank_idx, rng):
+    def step_fn(frozen, state: Stage2State, images, targets, index, bank_idx, rng):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.trainable, images, targets, index, bank_idx, rng
+            state.trainable, frozen, images, targets, index, bank_idx, rng
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -163,4 +195,4 @@ def make_stage2_step(
         trainable = optax.apply_updates(state.trainable, updates)
         return Stage2State(trainable, opt_state, state.step + 1), metrics
 
-    return init_state, step_fn
+    return init_state, step_fn, frozen

@@ -45,27 +45,39 @@ def make_stage1_step(
     impl: Optional[str] = None,
     axis_name: Optional[str] = None,
 ):
-    """Returns (init_state_fn, step_fn).
+    """Returns (init_state_fn, step_fn, frozen).
 
-    step_fn(state, images [B,3,H,W], targets [B], bank_idx scalar, rng)
+    step_fn(frozen, state, images [B,3,H,W], targets [B], bank_idx, rng)
       -> (state, metrics dict)
+    ``frozen`` is the returned (clip_params, bank_token_ids) pytree and
+    MUST be passed as the argument (not closed over): a jit-traced closure
+    embeds the ~150M frozen CLIP weights as program CONSTANTS — the
+    lowered stage-1 step measured ~1.2 GB of StableHLO, which blows
+    compile memory/time (and any compile-payload limit) for zero benefit.
+    As a runtime argument the weights are just device buffers.
     When `axis_name` is set the step is shard_map/pmap-compatible:
     gradients are psum-averaged over that axis.
     """
+    frozen = (clip_params, bank_token_ids)
 
-    def loss_fn(lora, images, targets, bank_idx, rng):
+    def loss_fn(lora, frozen, images, targets, bank_idx, rng):
+        clip_params, bank_token_ids = frozen
         rng_t, rng_v = jax.random.split(rng)
         txt_ctx = make_lora_context(lora, spec, "text", cfg.text_layers, rng=rng_t)
         vis_ctx = make_lora_context(lora, spec, "vision", cfg.vision_layers, rng=rng_v)
 
         text_ids = bank_token_ids[bank_idx]  # [C, 77]
-        emb = encode_text(clip_params, cfg, text_ids, dtype=dtype, impl=impl, lora_ctx=txt_ctx)
+        # remat: per-layer recompute in backward — the saved attention
+        # probabilities of both towers OOM 16 GB HBM at bs 256 otherwise
+        emb = encode_text(clip_params, cfg, text_ids, dtype=dtype, impl=impl,
+                          lora_ctx=txt_ctx, remat=True)
         # per-template norm -> mean over the single template -> re-norm
         # (lora_train_vlp.py:983-988); with one template both norms compose
         # to a single normalization
         text_features = l2_normalize(l2_normalize(emb))
 
-        img = encode_image(clip_params, cfg, images, dtype=dtype, impl=impl, lora_ctx=vis_ctx)
+        img = encode_image(clip_params, cfg, images, dtype=dtype, impl=impl,
+                           lora_ctx=vis_ctx, remat=True)
         image_features = l2_normalize(img)
 
         logits = logit_scale * image_features @ text_features.T
@@ -78,9 +90,9 @@ def make_stage1_step(
     def init_state(lora: dict) -> Stage1State:
         return Stage1State(lora, optimizer.init(lora), jnp.zeros((), jnp.int32))
 
-    def step_fn(state: Stage1State, images, targets, bank_idx, rng):
+    def step_fn(frozen, state: Stage1State, images, targets, bank_idx, rng):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.lora, images, targets, bank_idx, rng
+            state.lora, frozen, images, targets, bank_idx, rng
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -91,4 +103,4 @@ def make_stage1_step(
         new_state = Stage1State(lora, opt_state, state.step + 1)
         return new_state, {"loss": loss, "acc": acc}
 
-    return init_state, step_fn
+    return init_state, step_fn, frozen

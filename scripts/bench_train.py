@@ -65,14 +65,14 @@ def _banks_tokens(n_banks=8):
     return jnp.asarray(np.stack(rows))
 
 
-def _timed_steps(step, state, args, n_warm, n_timed, n_sanity):
+def _timed_steps(step, frozen, state, args, n_warm, n_timed, n_sanity):
     losses = []
     for i in range(max(n_warm, n_sanity)):
-        state, metrics = step(state, *args(i))
+        state, metrics = step(frozen, state, *args(i))
         losses.append(float(metrics["loss"]))
     t0 = time.perf_counter()
     for i in range(n_timed):
-        state, metrics = step(state, *args(1000 + i))
+        state, metrics = step(frozen, state, *args(1000 + i))
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_timed
     return dt, losses
@@ -80,7 +80,7 @@ def _timed_steps(step, state, args, n_warm, n_timed, n_sanity):
 
 def bench_stage1(dtype, steps, timed):
     cfg = VIT_B_32
-    bs = 256  # lora_train_vlp.py:1218
+    bs = int(os.environ.get("JCF_TRAIN_BS1", "256"))  # lora_train_vlp.py:1218
     params = init_clip_params(0, cfg)
     spec = LoraSpec()  # r=4, alpha=1, dropout .25, q/k/v, both, all
     lora = init_lora_params(
@@ -88,10 +88,10 @@ def bench_stage1(dtype, steps, timed):
     )
     banks = _banks_tokens()
     opt = adamw(lr=2e-4, weight_decay=1e-2)  # lora_train_vlp.py:946
-    init_state, step_fn = make_stage1_step(
+    init_state, step_fn, frozen = make_stage1_step(
         params, cfg, spec, banks, opt, dtype=dtype
     )
-    step = jax.jit(step_fn, donate_argnums=(0,))
+    step = jax.jit(step_fn, donate_argnums=(1,))
     state = init_state(lora)
 
     rng = np.random.default_rng(0)
@@ -102,7 +102,7 @@ def bench_stage1(dtype, steps, timed):
         return (images, targets, i % banks.shape[0], jax.random.PRNGKey(i))
 
     _log("stage-1: compiling + sanity steps ...")
-    dt, losses = _timed_steps(step, state, args, 3, timed, steps)
+    dt, losses = _timed_steps(step, frozen, state, args, 3, timed, steps)
     assert losses[-1] < losses[0], f"stage-1 loss did not decrease: {losses}"
     return {
         "stage": "stage1_lora",
@@ -117,7 +117,7 @@ def bench_stage1(dtype, steps, timed):
 
 def bench_stage2(dtype, steps, timed):
     cfg = VIT_B_32.with_prompts()  # IVLP: 4 visual prompt tokens live
-    bs = 128  # slow_pace.py:1935
+    bs = int(os.environ.get("JCF_TRAIN_BS2", "128"))  # slow_pace.py:1935
     params = init_clip_params(0, cfg)
     spec = LoraSpec()
     lora = init_lora_params(
@@ -149,11 +149,11 @@ def bench_stage2(dtype, steps, timed):
         ),
     }
     opt = adamw(lr=2e-4)  # slow_pace.py:1591 (cosine schedule is host-side)
-    init_state, step_fn = make_stage2_step(
+    init_state, step_fn, frozen = make_stage2_step(
         params, cfg, spec, learner, moco_params, zs_feats, text_zs, banks_zs,
         opt, dtype=dtype,
     )
-    step = jax.jit(step_fn, donate_argnums=(0,))
+    step = jax.jit(step_fn, donate_argnums=(1,))
     state = init_state(trainable)
 
     images = jnp.asarray(rng.random((bs, 3, 224, 224)).astype(np.float32))
@@ -164,7 +164,7 @@ def bench_stage2(dtype, steps, timed):
         return (images, targets, index, i % 8, jax.random.PRNGKey(i))
 
     _log("stage-2: compiling + sanity steps ...")
-    dt, losses = _timed_steps(step, state, args, 3, timed, steps)
+    dt, losses = _timed_steps(step, frozen, state, args, 3, timed, steps)
     assert losses[-1] < losses[0], f"stage-2 loss did not decrease: {losses}"
     return {
         "stage": "stage2_joint",

@@ -28,9 +28,11 @@ def main():
     cfg = VIT_B_32
     params = init_clip_params(0, cfg)
     rng = np.random.default_rng(0)
-    images_np = rng.random((128, 3, 256, 256)).astype(np.float32)
+    images_np = rng.random((int(os.environ.get("JCF_TRACE_BATCH", "128")), 3, 256, 256)).astype(np.float32)
     engine = TTAEngine(params, cfg, dtype=jnp.bfloat16, n_views=7,
                        normalize_views=True, quant="int8",
+                       embed_impl=os.environ.get("JCF_TRACE_EMBED", "conv"),
+                       static_quant_mode=os.environ.get("JCF_TRACE_STATIC_MODE", "hidden"),
                        calibration_images=(
                            images_np if os.environ.get("JCF_TRACE_STATIC", "1") == "1"
                            else None))

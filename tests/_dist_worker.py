@@ -67,7 +67,7 @@ def main() -> None:
     banks = rng.integers(1, cfg.vocab_size, (2, n_classes, cfg.context_length))
     banks = jnp.asarray(banks.astype(np.int32))
 
-    init_state, step_fn = make_stage1_step(
+    init_state, step_fn, frozen = make_stage1_step(
         params, cfg, spec, banks, adamw(1e-3), impl="xla"
     )
     state = init_state(lora)
@@ -87,7 +87,7 @@ def main() -> None:
     )
 
     step = jax.jit(step_fn)
-    new_state, metrics = step(state, img_g, tgt_g, 0, jax.random.PRNGKey(0))
+    new_state, metrics = step(frozen, state, img_g, tgt_g, 0, jax.random.PRNGKey(0))
     jax.block_until_ready(metrics)
     loss = float(metrics["loss"])
     checksum = float(

@@ -309,3 +309,59 @@ def test_paired_attention_nomask_shift_exact():
     shifted = np.asarray(_paired_attention_nomask(
         q3, 2, 64, None, 2, 24, s_real=17, score_shift=jnp.float32(7.5)))
     np.testing.assert_allclose(shifted, base, atol=2e-5, rtol=2e-5)
+
+
+def test_fused_tower_int8_bf16_epilogue(monkeypatch):
+    """_EPI_BF16 runs the MLP dequant+GELU+requant chain and the attention
+    exp at bf16; values feed int8 quantizers, so rankings-level agreement
+    with the f32-epilogue tower must hold."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(9, CFG)
+    q = quantize_clip_params(params)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 64)).astype(np.float32))
+    base = np.asarray(run_fused_tower(x, params["visual"]["blocks"], 2, None,
+                                      quant=q["visual"], interpret=True))
+    monkeypatch.setattr(bk, "_EPI_BF16", True)
+    b16 = np.asarray(run_fused_tower(x, params["visual"]["blocks"], 2, None,
+                                     quant=q["visual"], interpret=True))
+    cos = ((base * b16).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(b16, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.99, cos
+
+
+def test_fused_tower_batched_pairs_attention(monkeypatch):
+    """_ATTN_BATCHPAIRS stacks all head-pairs into one tile-aligned dot
+    per attention stage (64-padded key halves) — exact vs the composable
+    tower (pad keys are zero-K/V + selector-excluded, not approximated)."""
+    import jcf_tpu.ops.block_kernel as bk
+
+    params = init_clip_params(11, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    ref = _composable_tower(params, "text", x, 2)
+    monkeypatch.setattr(bk, "_ATTN_BATCHPAIRS", True)
+    out = run_fused_tower(x, params["text"]["blocks"], 2, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_tower_batched_pairs_int8_folded(monkeypatch):
+    """Batched-pairs attention under the serving int8 folded config."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(12, CFG)
+    q = quantize_clip_params(params, fold=True, heads={"visual": 1, "text": 2})
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                      quant=q["text"], quant_folded=True,
+                                      interpret=True))
+    monkeypatch.setattr(bk, "_ATTN_BATCHPAIRS", True)
+    out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                     quant=q["text"], quant_folded=True,
+                                     interpret=True))
+    cos = ((base * out).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.999, cos

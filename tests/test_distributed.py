@@ -48,14 +48,15 @@ def _single_process_reference() -> tuple:
     banks = jnp.asarray(
         rng.integers(1, cfg.vocab_size, (2, n_classes, cfg.context_length)).astype(np.int32)
     )
-    init_state, step_fn = make_stage1_step(
+    init_state, step_fn, frozen = make_stage1_step(
         params, cfg, spec, banks, adamw(1e-3), impl="xla"
     )
     state = init_state(lora)
     images = rng.random((8, 3, 32, 32)).astype(np.float32)
     targets = rng.integers(0, n_classes, 8).astype(np.int32)
     new_state, metrics = jax.jit(step_fn)(
-        state, jnp.asarray(images), jnp.asarray(targets), 0, jax.random.PRNGKey(0)
+        frozen, state, jnp.asarray(images), jnp.asarray(targets), 0,
+        jax.random.PRNGKey(0)
     )
     loss = float(metrics["loss"])
     checksum = float(

@@ -76,24 +76,25 @@ def test_dp_train_step_matches_single_device():
     banks = jnp.asarray(
         tokenize([f"a photo of a c{i}." for i in range(4)])[None]
     )
-    init_state, step_fn = make_stage1_step(params, cfg, spec, banks, adamw(1e-3), impl="xla")
+    init_state, step_fn, frozen = make_stage1_step(params, cfg, spec, banks, adamw(1e-3), impl="xla")
 
     images = jnp.asarray(RNG.standard_normal((8, 3, 32, 32)).astype(np.float32))
     targets = jnp.asarray(RNG.integers(0, 4, 8).astype(np.int32))
     key = jax.random.PRNGKey(0)
 
-    state1, m1 = jax.jit(step_fn)(init_state(lora), images, targets, 0, key)
+    state1, m1 = jax.jit(step_fn)(frozen, init_state(lora), images, targets, 0, key)
 
     mesh = make_mesh()
     repl = replicated_sharding(mesh)
     state_r = jax.device_put(init_state(lora), repl)
     step_dp = jax.jit(
         step_fn,
-        in_shardings=(repl, batch_sharding(mesh, 4), batch_sharding(mesh, 1), None, None),
+        in_shardings=(repl, repl, batch_sharding(mesh, 4), batch_sharding(mesh, 1), None, None),
         out_shardings=(repl, repl),
     )
     with mesh:
         state2, m2 = step_dp(
+            jax.device_put(frozen, repl),
             state_r,
             jax.device_put(images, batch_sharding(mesh, 4)),
             jax.device_put(targets, batch_sharding(mesh, 1)),

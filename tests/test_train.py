@@ -52,7 +52,7 @@ def test_stage1_step_trains():
         for b in range(2)
     ])  # [2, C, 77]
 
-    init_state, step = make_stage1_step(
+    init_state, step, frozen = make_stage1_step(
         params, CFG, SPEC, jnp.asarray(banks), adamw(lr=1e-3), impl="xla"
     )
     step = jax.jit(step)
@@ -63,7 +63,7 @@ def test_stage1_step_trains():
 
     losses = []
     for i in range(8):
-        state, metrics = step(state, images, targets, i % 2, jax.random.PRNGKey(i))
+        state, metrics = step(frozen, state, images, targets, i % 2, jax.random.PRNGKey(i))
         losses.append(float(metrics["loss"]))
     assert state.step == 8
     # overfitting a fixed batch must reduce loss
@@ -102,7 +102,7 @@ def test_stage2_step_updates_all_trainables():
         ),
     }
 
-    init_state, step = make_stage2_step(
+    init_state, step, frozen = make_stage2_step(
         params, CFG, SPEC, learner, moco_params, zs_feats, text_zs, banks,
         adamw(lr=1e-3), impl="xla",
     )
@@ -113,7 +113,7 @@ def test_stage2_step_updates_all_trainables():
     targets = jnp.asarray([0, 2], jnp.int32)
     index = jnp.asarray([3, 7], jnp.int32)
 
-    state2, metrics = step(state, images, targets, index, 0, jax.random.PRNGKey(0))
+    state2, metrics = step(frozen, state, images, targets, index, 0, jax.random.PRNGKey(0))
     for k in ("loss", "sim_ce", "l_scl", "lp_ce", "loss_aux", "acc"):
         assert np.isfinite(float(metrics[k])), k
 
