@@ -280,6 +280,7 @@ def main() -> None:
         ("JCF_BENCH_EPI_BF16", "_EPI_BF16", lambda v: v == "1"),
         ("JCF_BENCH_ATTN_STUB", "_ATTN_STUB", lambda v: v == "1"),
         ("JCF_BENCH_ATTN_BATCHPAIRS", "_ATTN_BATCHPAIRS", lambda v: v == "1"),
+        ("JCF_BENCH_DENSE", "_DENSE_ROWS", lambda v: v == "1"),
     ):
         if os.environ.get(env):
             setattr(bk, attr, cast(os.environ[env]))

@@ -300,8 +300,12 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
     """
     e = n_heads * head_dim
     d2 = 2 * head_dim
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d2), 2)
-    lo_lane = lane < head_dim
+    # stacking masks at FULL width E (lane % 2D picks each pair's lo/hi
+    # half): one select pass over [G, S, E] replaces n_heads//2 passes
+    # over [G, S, 2D] slices — same elements, 1/(n_heads//2) the VPU op
+    # issues (the b512 trace put ~2.5 ms/iter in the stacking section)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, e), 2)
+    lo_lane = (lane % d2) < head_dim
     if s_real != s_pad:
         row = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad, 1), 1)
         row_ok = row < s_real
@@ -325,19 +329,25 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
         jnp.float32(0.0),
     )
 
+    k_all = q3[:, :, e : 2 * e]
+    v_all = q3[:, :, 2 * e : 3 * e]
+    zero = jnp.zeros_like(k_all)
+    # [G, 2S, E]: rows 0..S = each pair's lo-head keys in its lower 2D
+    # lane half, rows S..2S = hi-head keys in the upper half; per-pair
+    # [G, 2S, 2D] views below are free 128-aligned lane slices
+    k2_all = jnp.concatenate(
+        [jnp.where(lo_mask, k_all, zero), jnp.where(hi_mask, k_all, zero)], axis=1
+    )
+    v2_all = jnp.concatenate(
+        [jnp.where(lo_mask, v_all, zero), jnp.where(hi_mask, v_all, zero)], axis=1
+    )
+    selc = sel.astype(q3.dtype)
     ctx = []
     for p_idx in range(n_heads // 2):
         o = p_idx * d2
         qp = q3[:, :, o : o + d2]
-        kp = q3[:, :, e + o : e + o + d2]
-        vp = q3[:, :, 2 * e + o : 2 * e + o + d2]
-        zero = jnp.zeros_like(kp)
-        k2 = jnp.concatenate(
-            [jnp.where(lo_mask, kp, zero), jnp.where(hi_mask, kp, zero)], axis=1
-        )  # [G, 2S, 2D]
-        v2 = jnp.concatenate(
-            [jnp.where(lo_mask, vp, zero), jnp.where(hi_mask, vp, zero)], axis=1
-        )
+        k2 = k2_all[:, :, o : o + d2]
+        v2 = v2_all[:, :, o : o + d2]
         if _INT8_ATTN:
             q32 = qp.astype(jnp.float32)
             k32 = k2.astype(jnp.float32)
@@ -397,7 +407,7 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [G, S, 2D] unnormalized [ctx_lo | ctx_hi]
             sums = jax.lax.dot_general(
-                pc, sel.astype(v2.dtype), (((2,), (0,)), ((), ())),
+                pc, selc, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [G, S, 2D] — normalizers already lane-broadcast
         ctx.append(ctx_u * (1.0 / jnp.maximum(sums, 1e-30)))
@@ -511,13 +521,14 @@ def _attn_half_int8_kernel(
     wout_i8_ref, wout_sc_ref, bout_ref, bias_ref, out_ref,
     *, n_heads, head_dim, scale, group, s_pad,
     s_real=None, use_mask=True, folded=False, static_act=False,
-    static_ctx=False, static_shift=False,
+    static_ctx=False, static_shift=False, dense=False,
 ):
     e = n_heads * head_dim
     bias = bias_ref[...]
-    gs = group * s_pad
+    s_row = s_real if dense else s_pad  # rows per crop in the stream
+    gs = group * s_row
 
-    rows = x_ref[...].reshape(gs, e)
+    rows = x_ref[...] if dense else x_ref[...].reshape(gs, e)
     n_sub = _SUBTILES if group % _SUBTILES == 0 else 1
     g_sub, m = group // n_sub, gs // n_sub
     outs = []
@@ -540,11 +551,35 @@ def _attn_half_int8_kernel(
             else _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref)
             .astype(jnp.bfloat16)
         )
+        if dense:
+            # VMEM repack: dense [g_sub*S, 3E] -> padded [g_sub*S_pad, 3E]
+            # for the [G, S_pad, .] attention views, then unpack the
+            # context back to dense rows (pad rows never leave the kernel)
+            qkv_att = jnp.concatenate(
+                [
+                    jnp.pad(
+                        qkv[g * s_real : (g + 1) * s_real],
+                        ((0, s_pad - s_real), (0, 0)),
+                    )
+                    for g in range(g_sub)
+                ],
+                axis=0,
+            )
+        else:
+            qkv_att = qkv
         ctx = _batched_attention(
-            qkv, bias, n_heads, head_dim, None if folded else scale,
+            qkv_att, bias, n_heads, head_dim, None if folded else scale,
             g_sub, s_pad, s_real=s_real, use_mask=use_mask,
             score_shift=shift_ref[0, 0] if static_shift else None,
         )
+        if dense:
+            ctx = jnp.concatenate(
+                [
+                    ctx[g * s_pad : g * s_pad + s_real]
+                    for g in range(g_sub)
+                ],
+                axis=0,
+            )
         if static_ctx:
             c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
         else:
@@ -552,7 +587,8 @@ def _attn_half_int8_kernel(
         proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
         outs.append(r.astype(jnp.float32) + proj)
     out = outs[0] if n_sub == 1 else jnp.concatenate(outs, axis=0)
-    out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
+    out = out.astype(out_ref.dtype)
+    out_ref[...] = out if dense else out.reshape(group, s_pad, e)
 
 
 def _mlp_half_int8_kernel(
@@ -560,11 +596,12 @@ def _mlp_half_int8_kernel(
     wfc_i8_ref, wfc_sc_ref, bfc_ref,
     wproj_i8_ref, wproj_sc_ref, bproj_ref, out_ref,
     *, group, s_pad, folded=False, static_act=False, static_h=False,
+    s_real=None, dense=False,
 ):
     e = x_ref.shape[-1]
     hidden_dim = wfc_i8_ref.shape[0]
-    gs = group * s_pad
-    rows = x_ref[...].reshape(gs, e)
+    gs = group * (s_real if dense else s_pad)
+    rows = x_ref[...] if dense else x_ref[...].reshape(gs, e)
     n_sub = _SUBTILES if gs % _SUBTILES == 0 else 1
     m = gs // n_sub
     nsp = _MLP_NSPLIT if hidden_dim % _MLP_NSPLIT == 0 else 1
@@ -610,7 +647,8 @@ def _mlp_half_int8_kernel(
         proj = acc + bproj_ref[...].astype(jnp.float32)
         outs.append(r.astype(jnp.float32) + proj)
     out = outs[0] if n_sub == 1 else jnp.concatenate(outs, axis=0)
-    out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
+    out = out.astype(out_ref.dtype)
+    out_ref[...] = out if dense else out.reshape(group, s_pad, e)
 
 
 def _mlp_half_kernel(
@@ -798,12 +836,31 @@ _INT8_ATTN = False
 # row blocks to the bf16 sublane tile (S=50 -> 64), trading ~14% more GEMM
 # rows for relayout-free [G, S, D] views inside the attention section.
 _S_ALIGN = 8
+# Dense row stream (JCF_BENCH_DENSE): the tower activations ride as a FLAT
+# [B*S, E] array — no per-crop S->S_pad padding anywhere in HBM or in the
+# GEMMs (any [B, S, E] array with S=50 is PHYSICALLY padded to the sublane
+# tile by TPU tiling, so dense requires staying 2D). The attention section
+# still needs [G, S_pad, .] views, so the attn-half kernel repacks qkv into
+# a padded layout IN VMEM (per-group pad+concat) and unpacks the context
+# after — trading two in-kernel copy passes per layer for the structural
+# +12% GEMM rows the pad costs everywhere (roofline: 4790 -> 5360 img/s at
+# 100% int8 MFU). Serving vision tower only (nomask + int8 halves).
+_DENSE_ROWS = False
 
 
 def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
-                  s_real=None, use_mask=True, quant_folded=False):
-    """Two-kernel variant (attention half, MLP half) of fused_block."""
-    b, s_pad, e = x.shape
+                  s_real=None, use_mask=True, quant_folded=False,
+                  dense=False, s_pad=None):
+    """Two-kernel variant (attention half, MLP half) of fused_block.
+
+    ``dense``: x is a FLAT [B*S_real, E] row stream (no per-crop pad rows
+    in HBM or the GEMMs); ``s_pad`` then carries the in-kernel attention
+    pad target. int8 path only."""
+    if dense:
+        b_rows, e = x.shape
+        b = b_rows // s_real
+    else:
+        b, s_pad, e = x.shape
     d = e // n_heads
     precision = _HI if x.dtype == jnp.float32 else None
     group_a = _pick_group(b, _GROUP_ATTN or _GROUP_TARGET)
@@ -814,11 +871,17 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         return vmem(shape, lambda i: tuple(0 for _ in shape))
 
     def tile_common(group):
-        tile = vmem((group, s_pad, e), lambda i: (i, 0, 0))
+        if dense:
+            rows_t = group * s_real
+            tile = vmem((rows_t, e), lambda i: (i, 0))
+            shape = (b_rows, e)
+        else:
+            tile = vmem((group, s_pad, e), lambda i: (i, 0, 0))
+            shape = (b, s_pad, e)
         return tile, dict(
             grid=(b // group,),
             out_specs=tile,
-            out_shape=jax.ShapeDtypeStruct((b, s_pad, e), x.dtype),
+            out_shape=jax.ShapeDtypeStruct(shape, x.dtype),
             # f32 halves (cert/reference runs) exceed the 16MB scoped-vmem
             # default (c_fc+c_proj f32 ~19MB); raise the cap like the
             # whole-block variant does
@@ -845,7 +908,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
                 scale=1.0 / math.sqrt(d), group=group_a, s_pad=s_pad,
                 s_real=s_real, use_mask=use_mask, folded=quant_folded,
                 static_act=static_act, static_ctx=static_ctx,
-                static_shift=static_shift,
+                static_shift=static_shift, dense=dense,
             ),
             in_specs=[
                 tile, full((e,)), full((e,)), full((1, 1)), full((1, 1)),
@@ -869,7 +932,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         return pl.pallas_call(
             functools.partial(_mlp_half_int8_kernel, group=group_m, s_pad=s_pad,
                               folded=quant_folded, static_act=static_act,
-                              static_h=static_h),
+                              static_h=static_h, s_real=s_real, dense=dense),
             in_specs=[
                 tile, full((e,)), full((e,)), full((1, 1)), full((1, 1)),
                 full((hidden_dim, e)), full((hidden_dim,)), full((hidden_dim,)),
@@ -938,6 +1001,8 @@ def fused_block(
     s_real: "int | None" = None,  # unpadded sequence length
     use_mask: bool = True,  # False -> mask-free paired epilogue
     quant_folded: bool = False,  # quant_layer built with fold=True
+    dense: bool = False,  # x is a flat [B*S_real, E] dense row stream
+    s_pad: "int | None" = None,  # attention pad target when dense
 ) -> jax.Array:
     """One full transformer block through the fused kernels.
 
@@ -946,10 +1011,13 @@ def fused_block(
     47.5 ms for the 12-layer int8 tower at 1024 crops; the whole-block
     program's VMEM pressure costs more than the inter-half HBM round trip
     saves). ``_FUSE = "block"`` selects the whole-block kernel."""
+    if dense and (_FUSE != "halves" or quant_layer is None):
+        raise ValueError("dense row stream requires the int8 halves variant")
     if _FUSE == "halves":
         return _halves_block(x, params, n_heads, bias, quant_layer, interpret,
                              s_real=s_real, use_mask=use_mask,
-                             quant_folded=quant_folded)
+                             quant_folded=quant_folded, dense=dense,
+                             s_pad=s_pad)
 
     b, s_pad, e = x.shape
     d = e // n_heads
@@ -1067,20 +1135,30 @@ def run_fused_tower(
     """
     b, s, e = x.shape
     s_pad = ((s + _S_ALIGN - 1) // _S_ALIGN) * _S_ALIGN
-    if s_pad != s:
-        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
 
     use_mask = (
         mask is not None
         or not (_PAIR_HEADS and n_heads % 2 == 0)
         or not _NOMASK_EPILOGUE
     )
+    # dense row stream (no pad rows in HBM/GEMMs; attention repacks in
+    # VMEM) — serving vision tower only: int8 halves, mask-free epilogue
+    dense = (
+        _DENSE_ROWS and s_pad != s and not use_mask
+        and quant is not None and _FUSE == "halves"
+        and not _ATTN_BATCHPAIRS
+    )
+    if s_pad != s and not dense:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+
     bias = jnp.full((s_pad, s_pad), _NEG_INF, dtype=jnp.float32)
     block = jnp.zeros((s, s), jnp.float32) if mask is None else mask.astype(jnp.float32)
     bias = bias.at[:s, :s].set(block)
 
     kw = dict(interpret=interpret, s_real=s, use_mask=use_mask,
-              quant_folded=quant_folded)
+              quant_folded=quant_folded, dense=dense, s_pad=s_pad)
+    if dense:
+        x = x.reshape(b * s, e)  # physical compaction: drops tile pad rows
     if quant is not None:
         def body(carry, scanned):
             layer_params, quant_layer = scanned
@@ -1095,4 +1173,6 @@ def run_fused_tower(
             return fused_block(carry, layer_params, n_heads, bias, **kw), None
 
         x, _ = jax.lax.scan(body, x, stacked_blocks)
+    if dense:
+        return x.reshape(b, s, e)
     return x[:, :s] if s_pad != s else x

@@ -365,3 +365,42 @@ def test_fused_tower_batched_pairs_int8_folded(monkeypatch):
         np.linalg.norm(base, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
     )).min()
     assert cos > 0.999, cos
+
+
+def test_fused_tower_dense_rows_matches_padded(monkeypatch):
+    """JCF_BENCH_DENSE: the flat [B*S, E] dense row stream (in-kernel
+    attention repack, no pad rows in HBM/GEMMs) computes the IDENTICAL
+    quantized function as the padded layout — the repack is exact data
+    movement and every quantization is per-row. S=17 is not a sublane
+    multiple so both the pad handling and the repack are load-bearing."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(13, CFG)
+    q = quantize_clip_params(params, fold=True, heads={"visual": 1, "text": 2})
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                      quant=q["text"], quant_folded=True,
+                                      interpret=True))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                     quant=q["text"], quant_folded=True,
+                                     interpret=True))
+    np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_tower_dense_rows_subtiles(monkeypatch):
+    """Dense rows compose with the subtile split (per-subtile repack)."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(14, CFG)
+    q = quantize_clip_params(params)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                      quant=q["text"], interpret=True))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    monkeypatch.setattr(bk, "_SUBTILES", 2)
+    out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                     quant=q["text"], interpret=True))
+    np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
