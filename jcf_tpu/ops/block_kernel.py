@@ -845,7 +845,10 @@ _S_ALIGN = 8
 # after — trading two in-kernel copy passes per layer for the structural
 # +12% GEMM rows the pad costs everywhere (roofline: 4790 -> 5360 img/s at
 # 100% int8 MFU). Serving vision tower only (nomask + int8 halves).
-_DENSE_ROWS = False
+# Default ON since the r4 on-chip A/B: 3502 vs 3363 img/s at b1024 (+4.1%)
+# — the VMEM repack is cheaper than the structural pad everywhere else.
+# JCF_BENCH_DENSE=0 flips it off for A/Bs.
+_DENSE_ROWS = True
 
 
 def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
