@@ -281,6 +281,8 @@ def main() -> None:
         ("JCF_BENCH_ATTN_STUB", "_ATTN_STUB", lambda v: v == "1"),
         ("JCF_BENCH_ATTN_BATCHPAIRS", "_ATTN_BATCHPAIRS", lambda v: v == "1"),
         ("JCF_BENCH_DENSE", "_DENSE_ROWS", lambda v: v == "1"),
+        ("JCF_BENCH_FUSE", "_FUSE", str),
+        ("JCF_BENCH_GROUP_STREAM", "_GROUP_STREAM", int),
     ):
         if os.environ.get(env):
             setattr(bk, attr, cast(os.environ[env]))

@@ -739,6 +739,119 @@ def _block_int8_kernel(
     out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
 
 
+def _stream_tower_int8_kernel(
+    x_ref, ln1_s_ref, ln1_b_ref, ln1_inv_ref, ctx_inv_ref, shift_ref,
+    wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
+    wout_i8_ref, wout_sc_ref, bout_ref,
+    ln2_s_ref, ln2_b_ref, ln2_inv_ref, h_inv_ref,
+    wfc_i8_ref, wfc_sc_ref, bfc_ref, wproj_i8_ref, wproj_sc_ref, bproj_ref,
+    bias_ref, out_ref,
+    *, n_heads, head_dim, scale, group, s_pad, s_real,
+    folded, static_act, static_ctx, static_h, static_shift,
+):
+    """Layer-streaming tower body (``_FUSE = "stream"``): one grid step per
+    (crop group, HALF-step) with half-steps innermost. The residual tile
+    lives in ``out_ref``'s VMEM block for all ``2 * n_layers`` consecutive
+    steps (the block index only changes with the group), so the residual
+    stream NEVER round-trips HBM between halves or layers — the dominant
+    HBM term of the halves variant (~30 GB/iter at 8192 crops). Each
+    half's weights stream per layer via ``l // 2`` index maps (fetched
+    once per layer per group, auto double-buffered by the Pallas
+    pipeline). Dense row stream + mask-free paired epilogue only — the
+    serving vision tower. Same math as the halves kernels, subtiles=1.
+    """
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _seed():
+        out_ref[...] = x_ref[...]
+
+    rows = out_ref[...]
+    dense = s_pad != s_real
+
+    @pl.when(l % 2 == 0)
+    def _attn_half():
+        h_ln = (
+            _ln_norm(rows) if folded
+            else _ln_rows(rows, ln1_s_ref[0], ln1_b_ref[0])
+        )
+        if static_act:
+            x_q, x_sc = _quant_rows_static(h_ln, ln1_inv_ref[0, 0, 0]), None
+        else:
+            x_q, x_sc = _quant_rows(h_ln)
+        qkv = _int8_gemm(
+            x_q, x_sc, wqkv_i8_ref[0], wqkv_sc_ref[0], bqkv_ref[0]
+        ).astype(jnp.bfloat16)
+        if dense:
+            qkv_att = jnp.concatenate(
+                [
+                    jnp.pad(
+                        qkv[g * s_real : (g + 1) * s_real],
+                        ((0, s_pad - s_real), (0, 0)),
+                    )
+                    for g in range(group)
+                ],
+                axis=0,
+            )
+        else:
+            qkv_att = qkv
+        ctx = _batched_attention(
+            qkv_att, bias_ref[...], n_heads, head_dim,
+            None if folded else scale, group, s_pad, s_real=s_real,
+            use_mask=False,
+            score_shift=shift_ref[0, 0, 0] if static_shift else None,
+        )
+        if dense:
+            ctx = jnp.concatenate(
+                [
+                    ctx[g * s_pad : g * s_pad + s_real]
+                    for g in range(group)
+                ],
+                axis=0,
+            )
+        if static_ctx:
+            c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0, 0]), None
+        else:
+            c_q, c_sc = _quant_rows(ctx)
+        proj = _int8_gemm(c_q, c_sc, wout_i8_ref[0], wout_sc_ref[0], bout_ref[0])
+        out_ref[...] = (rows.astype(jnp.float32) + proj).astype(out_ref.dtype)
+
+    @pl.when(l % 2 == 1)
+    def _mlp_half():
+        hidden_dim = wfc_i8_ref.shape[1]
+        h_ln = (
+            _ln_norm(rows) if folded
+            else _ln_rows(rows, ln2_s_ref[0], ln2_b_ref[0])
+        )
+        if static_act:
+            x_q, x_sc = _quant_rows_static(h_ln, ln2_inv_ref[0, 0, 0]), None
+        else:
+            x_q, x_sc = _quant_rows(h_ln)
+        nsp = _MLP_NSPLIT if hidden_dim % _MLP_NSPLIT == 0 else 1
+        hs = hidden_dim // nsp
+        acc = None
+        for k in range(nsp):
+            sl = slice(k * hs, (k + 1) * hs)
+            hidden = _int8_gemm(
+                x_q, x_sc, wfc_i8_ref[0, sl], wfc_sc_ref[0, sl],
+                bfc_ref[0, sl],
+            )
+            hidden = _quick_gelu32(hidden)
+            if static_h:
+                h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0, 0]), None
+            else:
+                h_q, h_sc = _quant_rows(hidden)
+            part = jax.lax.dot_general(
+                h_q, wproj_i8_ref[0, :, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * wproj_sc_ref[0].astype(jnp.float32)
+            if h_sc is not None:
+                part = part * h_sc
+            acc = part if acc is None else acc + part
+        proj = acc + bproj_ref[0].astype(jnp.float32)
+        out_ref[...] = (rows.astype(jnp.float32) + proj).astype(out_ref.dtype)
+
+
 def _block_kernel(
     x_ref, ln1_s_ref, ln1_b_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     ln2_s_ref, ln2_b_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
@@ -806,7 +919,21 @@ _GROUP_TARGET = 16
 # half's tensors are ~4x smaller, so a larger G can amortize fixed costs.
 _GROUP_ATTN = None
 _GROUP_MLP = None
-_FUSE = "halves"  # "halves": attn + mlp kernels; "block": one kernel/layer
+_FUSE = "halves"  # "halves": attn + mlp kernels; "block": one kernel/layer;
+# "stream": ONE kernel for the whole tower, grid (groups, 2*layers) with
+# half-steps innermost — the residual tile stays VMEM-resident across all
+# 24 half-steps (out block revisited as the carry) while each half's
+# weights stream per layer (index_map l//2, auto double-buffered). Trades
+# the per-half residual-stream HBM round trips (~30 GB/iter at 8192 crops
+# = ~37 ms at 819 GB/s) for per-group weight re-streaming (85 MB x
+# groups). int8 + dense + mask-free serving tower only; other configs
+# fall back to the halves scan.
+# Streaming-tower group size: bigger G amortizes the weight re-streaming
+# (traffic = 85 MB x B/G) but every VMEM tensor scales with G — at 32 the
+# union of the attn branch (~55 MB: qkv + padded repack + K2/V2 stacks +
+# ctx) and the MLP branch (~35 MB: f32 hidden) plus double-buffered
+# weights fits the 100 MB cap; 64 overflows unless _MLP_NSPLIT >= 2.
+_GROUP_STREAM = 32
 _ATTN_STUB = False  # debug: bypass attention math (perf attribution only)
 # Split each tile into independent row-block chains so the Mosaic
 # scheduler can overlap one chain's VPU epilogue with the other's MXU
@@ -993,6 +1120,95 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
     )
 
 
+def _stream_tower(x, stacked_blocks, quant, n_heads, bias, *, s_real,
+                  s_pad, interpret, quant_folded):
+    """Whole-tower layer-streaming pallas_call (``_FUSE = "stream"``).
+
+    ``x``: flat dense [B*S_real, E] row stream (the serving layout);
+    ``stacked_blocks`` / ``quant``: [L, ...]-stacked float block params and
+    int8 weights (the same stacked trees the scan path consumes). See
+    ``_stream_tower_int8_kernel`` for the grid/residency design.
+    """
+    b_rows, e = x.shape
+    b = b_rows // s_real
+    d = e // n_heads
+    n_layers = jax.tree_util.tree_leaves(stacked_blocks)[0].shape[0]
+    group = _pick_group(b, _GROUP_STREAM)
+    rows_t = group * s_real
+    hidden_dim = quant["mlp"]["c_fc"].w_int8.shape[1]
+
+    static_act = "ln_inv" in quant["attn"]
+    static_ctx = "ctx_inv" in quant["attn"]
+    static_h = "h_inv" in quant["mlp"]
+    static_shift = "score_shift" in quant["attn"]
+    ones = jnp.ones((n_layers, 1, 1), jnp.float32)
+
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+
+    def by_group(shape):
+        return vmem(shape, lambda i, l: (i,) + (0,) * (len(shape) - 1))
+
+    def by_layer(shape):
+        # one layer's slice of an [L, ...]-stacked operand; the index only
+        # changes every other step, so each half's weights are fetched
+        # once per (layer, group) and stay resident for both half-steps
+        return vmem((1,) + shape, lambda i, l: (l // 2,) + (0,) * len(shape))
+
+    def const(shape):
+        return vmem(shape, lambda i, l: (0,) * len(shape))
+
+    return pl.pallas_call(
+        functools.partial(
+            _stream_tower_int8_kernel, n_heads=n_heads, head_dim=d,
+            scale=1.0 / math.sqrt(d), group=group, s_pad=s_pad,
+            s_real=s_real, folded=quant_folded, static_act=static_act,
+            static_ctx=static_ctx, static_h=static_h,
+            static_shift=static_shift,
+        ),
+        grid=(b // group, 2 * n_layers),
+        in_specs=[
+            by_group((rows_t, e)),
+            by_layer((e,)), by_layer((e,)),
+            by_layer((1, 1)), by_layer((1, 1)), by_layer((1, 1)),
+            by_layer((3 * e, e)), by_layer((3 * e,)), by_layer((3 * e,)),
+            by_layer((e, e)), by_layer((e,)), by_layer((e,)),
+            by_layer((e,)), by_layer((e,)),
+            by_layer((1, 1)), by_layer((1, 1)),
+            by_layer((hidden_dim, e)), by_layer((hidden_dim,)),
+            by_layer((hidden_dim,)),
+            by_layer((e, hidden_dim)), by_layer((e,)), by_layer((e,)),
+            const((s_pad, s_pad)),
+        ],
+        out_specs=by_group((rows_t, e)),
+        out_shape=jax.ShapeDtypeStruct((b_rows, e), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        stacked_blocks["ln_1"]["scale"].astype(x.dtype),
+        stacked_blocks["ln_1"]["bias"].astype(x.dtype),
+        quant["attn"].get("ln_inv", ones),
+        quant["attn"].get("ctx_inv", ones),
+        quant["attn"].get("score_shift", ones),
+        quant["attn"]["w_qkv"].w_int8, quant["attn"]["w_qkv"].w_scale,
+        quant["attn"]["w_qkv"].bias,
+        quant["attn"]["w_out"].w_int8, quant["attn"]["w_out"].w_scale,
+        quant["attn"]["w_out"].bias,
+        stacked_blocks["ln_2"]["scale"].astype(x.dtype),
+        stacked_blocks["ln_2"]["bias"].astype(x.dtype),
+        quant["mlp"].get("ln_inv", ones),
+        quant["mlp"].get("h_inv", ones),
+        quant["mlp"]["c_fc"].w_int8, quant["mlp"]["c_fc"].w_scale,
+        quant["mlp"]["c_fc"].bias,
+        quant["mlp"]["c_proj"].w_int8, quant["mlp"]["c_proj"].w_scale,
+        quant["mlp"]["c_proj"].bias,
+        bias,
+    )
+
+
 def fused_block(
     x: jax.Array,  # [B, S_pad, E] — S_pad must be a multiple of 8
     params: dict,  # one layer's block params (unstacked)
@@ -1014,9 +1230,11 @@ def fused_block(
     47.5 ms for the 12-layer int8 tower at 1024 crops; the whole-block
     program's VMEM pressure costs more than the inter-half HBM round trip
     saves). ``_FUSE = "block"`` selects the whole-block kernel."""
-    if dense and (_FUSE != "halves" or quant_layer is None):
+    if dense and (_FUSE == "block" or quant_layer is None):
         raise ValueError("dense row stream requires the int8 halves variant")
-    if _FUSE == "halves":
+    if _FUSE != "block":
+        # "halves" (default) — also the per-layer fallback for "stream"
+        # configs that aren't stream-eligible (masked/f32/non-dense towers)
         return _halves_block(x, params, n_heads, bias, quant_layer, interpret,
                              s_real=s_real, use_mask=use_mask,
                              quant_folded=quant_folded, dense=dense,
@@ -1148,7 +1366,7 @@ def run_fused_tower(
     # VMEM) — serving vision tower only: int8 halves, mask-free epilogue
     dense = (
         _DENSE_ROWS and s_pad != s and not use_mask
-        and quant is not None and _FUSE == "halves"
+        and quant is not None and _FUSE in ("halves", "stream")
         and not _ATTN_BATCHPAIRS
     )
     if s_pad != s and not dense:
@@ -1162,6 +1380,11 @@ def run_fused_tower(
               quant_folded=quant_folded, dense=dense, s_pad=s_pad)
     if dense:
         x = x.reshape(b * s, e)  # physical compaction: drops tile pad rows
+    if dense and _FUSE == "stream":
+        x = _stream_tower(x, stacked_blocks, quant, n_heads, bias,
+                          s_real=s, s_pad=s_pad, interpret=interpret,
+                          quant_folded=quant_folded)
+        return x.reshape(b, s, e)
     if quant is not None:
         def body(carry, scanned):
             layer_params, quant_layer = scanned

@@ -20,6 +20,9 @@ def main():
     bk._SUBTILES = int(os.environ.get("JCF_SUBTILES", "2"))
     bk._NOMASK_EPILOGUE = os.environ.get("JCF_NOMASK_EPI", "1") == "1"
     bk._INT8_ATTN = os.environ.get("JCF_INT8_ATTN", "0") == "1"
+    bk._DENSE_ROWS = os.environ.get("JCF_DENSE", "1") == "1"
+    bk._GROUP_STREAM = int(os.environ.get("JCF_GROUP_STREAM",
+                                          bk._GROUP_STREAM))
     if os.environ.get("JCF_GROUP_ATTN"):
         bk._GROUP_ATTN = int(os.environ["JCF_GROUP_ATTN"])
     if os.environ.get("JCF_GROUP_MLP"):
@@ -58,7 +61,8 @@ def main():
     print(f"group={bk._GROUP_TARGET} vmem={bk._VMEM_LIMIT>>20}MB quant={quant} "
           f"fold={int(fold)} fuse={bk._FUSE} sub={bk._SUBTILES} "
           f"nsplit={bk._MLP_NSPLIT} nomask_epi={int(bk._NOMASK_EPILOGUE)} "
-          f"i8attn={int(bk._INT8_ATTN)} ga={bk._GROUP_ATTN} gm={bk._GROUP_MLP}: "
+          f"i8attn={int(bk._INT8_ATTN)} ga={bk._GROUP_ATTN} gm={bk._GROUP_MLP} "
+          f"dense={int(bk._DENSE_ROWS)} gs={bk._GROUP_STREAM}: "
           f"tower {t:.2f} ms")
 
 

@@ -389,6 +389,51 @@ def test_fused_tower_dense_rows_matches_padded(monkeypatch):
     np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
 
 
+def test_fused_tower_stream_matches_halves(monkeypatch):
+    """_FUSE="stream": the layer-streaming whole-tower kernel (residual
+    tile VMEM-resident across all 2L half-steps, weights streamed per
+    layer) computes the IDENTICAL quantized function as the dense halves
+    scan — the carry is exact data residency, not a numeric change.
+    Covers folded+static and plain dynamic quant trees."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(15, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    for fold in (True, False):
+        q = quantize_clip_params(
+            params, fold=fold, heads={"visual": 1, "text": 2}
+        ) if fold else quantize_clip_params(params)
+        base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                          quant=q["text"], quant_folded=fold,
+                                          interpret=True))
+        monkeypatch.setattr(bk, "_FUSE", "stream")
+        out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                         quant=q["text"], quant_folded=fold,
+                                         interpret=True))
+        monkeypatch.setattr(bk, "_FUSE", "halves")
+        np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_tower_stream_noneligible_falls_back(monkeypatch):
+    """_FUSE="stream" on a non-eligible tower (causal mask) falls back to
+    the halves scan — same results as the default config."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(16, CFG)
+    q = quantize_clip_params(params)
+    x = jnp.asarray(RNG.standard_normal((4, 16, 128)).astype(np.float32))
+    mask = causal_mask(16)
+    base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, mask,
+                                      quant=q["text"], interpret=True))
+    monkeypatch.setattr(bk, "_FUSE", "stream")
+    out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, mask,
+                                     quant=q["text"], interpret=True))
+    np.testing.assert_allclose(out, base, atol=1e-6, rtol=1e-6)
+
+
 def test_fused_tower_dense_rows_subtiles(monkeypatch):
     """Dense rows compose with the subtile split (per-subtile repack)."""
     import jcf_tpu.ops.block_kernel as bk
