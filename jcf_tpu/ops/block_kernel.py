@@ -773,14 +773,14 @@ def _stream_tower_int8_kernel(
     def _attn_half():
         h_ln = (
             _ln_norm(rows) if folded
-            else _ln_rows(rows, ln1_s_ref[0], ln1_b_ref[0])
+            else _ln_rows(rows, ln1_s_ref[0, 0], ln1_b_ref[0, 0])
         )
         if static_act:
             x_q, x_sc = _quant_rows_static(h_ln, ln1_inv_ref[0, 0, 0]), None
         else:
             x_q, x_sc = _quant_rows(h_ln)
         qkv = _int8_gemm(
-            x_q, x_sc, wqkv_i8_ref[0], wqkv_sc_ref[0], bqkv_ref[0]
+            x_q, x_sc, wqkv_i8_ref[0], wqkv_sc_ref[0, 0], bqkv_ref[0, 0]
         ).astype(jnp.bfloat16)
         if dense:
             qkv_att = jnp.concatenate(
@@ -813,7 +813,7 @@ def _stream_tower_int8_kernel(
             c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0, 0]), None
         else:
             c_q, c_sc = _quant_rows(ctx)
-        proj = _int8_gemm(c_q, c_sc, wout_i8_ref[0], wout_sc_ref[0], bout_ref[0])
+        proj = _int8_gemm(c_q, c_sc, wout_i8_ref[0], wout_sc_ref[0, 0], bout_ref[0, 0])
         out_ref[...] = (rows.astype(jnp.float32) + proj).astype(out_ref.dtype)
 
     @pl.when(l % 2 == 1)
@@ -821,7 +821,7 @@ def _stream_tower_int8_kernel(
         hidden_dim = wfc_i8_ref.shape[1]
         h_ln = (
             _ln_norm(rows) if folded
-            else _ln_rows(rows, ln2_s_ref[0], ln2_b_ref[0])
+            else _ln_rows(rows, ln2_s_ref[0, 0], ln2_b_ref[0, 0])
         )
         if static_act:
             x_q, x_sc = _quant_rows_static(h_ln, ln2_inv_ref[0, 0, 0]), None
@@ -833,8 +833,8 @@ def _stream_tower_int8_kernel(
         for k in range(nsp):
             sl = slice(k * hs, (k + 1) * hs)
             hidden = _int8_gemm(
-                x_q, x_sc, wfc_i8_ref[0, sl], wfc_sc_ref[0, sl],
-                bfc_ref[0, sl],
+                x_q, x_sc, wfc_i8_ref[0, sl], wfc_sc_ref[0, 0, sl],
+                bfc_ref[0, 0, sl],
             )
             hidden = _quick_gelu32(hidden)
             if static_h:
@@ -844,11 +844,11 @@ def _stream_tower_int8_kernel(
             part = jax.lax.dot_general(
                 h_q, wproj_i8_ref[0, :, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * wproj_sc_ref[0].astype(jnp.float32)
+            ).astype(jnp.float32) * wproj_sc_ref[0, 0].astype(jnp.float32)
             if h_sc is not None:
                 part = part * h_sc
             acc = part if acc is None else acc + part
-        proj = acc + bproj_ref[0].astype(jnp.float32)
+        proj = acc + bproj_ref[0, 0].astype(jnp.float32)
         out_ref[...] = (rows.astype(jnp.float32) + proj).astype(out_ref.dtype)
 
 
@@ -1152,10 +1152,26 @@ def _stream_tower(x, stacked_blocks, quant, n_heads, bias, *, s_real,
         # one layer's slice of an [L, ...]-stacked operand; the index only
         # changes every other step, so each half's weights are fetched
         # once per (layer, group) and stay resident for both half-steps
-        return vmem((1,) + shape, lambda i, l: (l // 2,) + (0,) * len(shape))
+        # lax.div, not //: floor-div lowers with a sign-correction jaxpr
+        # Mosaic rejects in block index maps; grid indices are non-negative
+        # so truncating division is identical
+        return vmem(
+            (1,) + shape,
+            lambda i, l: (jax.lax.div(l, 2),) + (0,) * len(shape),
+        )
+
+    def by_layer_vec(x_len):
+        # [L, X] stacked vectors can't block as (1, X): Mosaic requires the
+        # last two block dims to divide (8, 128) or equal the array's, and
+        # 1 != L. Carry them as [L, 1, X] so the block's trailing (1, X)
+        # equals the array's trailing dims exactly.
+        return by_layer((1, x_len))
 
     def const(shape):
         return vmem(shape, lambda i, l: (0,) * len(shape))
+
+    def v3(a):  # [L, X] -> [L, 1, X] to match by_layer_vec blocks
+        return a.reshape(a.shape[0], 1, a.shape[1])
 
     return pl.pallas_call(
         functools.partial(
@@ -1168,15 +1184,15 @@ def _stream_tower(x, stacked_blocks, quant, n_heads, bias, *, s_real,
         grid=(b // group, 2 * n_layers),
         in_specs=[
             by_group((rows_t, e)),
-            by_layer((e,)), by_layer((e,)),
+            by_layer_vec(e), by_layer_vec(e),
             by_layer((1, 1)), by_layer((1, 1)), by_layer((1, 1)),
-            by_layer((3 * e, e)), by_layer((3 * e,)), by_layer((3 * e,)),
-            by_layer((e, e)), by_layer((e,)), by_layer((e,)),
-            by_layer((e,)), by_layer((e,)),
+            by_layer((3 * e, e)), by_layer_vec(3 * e), by_layer_vec(3 * e),
+            by_layer((e, e)), by_layer_vec(e), by_layer_vec(e),
+            by_layer_vec(e), by_layer_vec(e),
             by_layer((1, 1)), by_layer((1, 1)),
-            by_layer((hidden_dim, e)), by_layer((hidden_dim,)),
-            by_layer((hidden_dim,)),
-            by_layer((e, hidden_dim)), by_layer((e,)), by_layer((e,)),
+            by_layer((hidden_dim, e)), by_layer_vec(hidden_dim),
+            by_layer_vec(hidden_dim),
+            by_layer((e, hidden_dim)), by_layer_vec(e), by_layer_vec(e),
             const((s_pad, s_pad)),
         ],
         out_specs=by_group((rows_t, e)),
@@ -1188,23 +1204,23 @@ def _stream_tower(x, stacked_blocks, quant, n_heads, bias, *, s_real,
         interpret=interpret,
     )(
         x,
-        stacked_blocks["ln_1"]["scale"].astype(x.dtype),
-        stacked_blocks["ln_1"]["bias"].astype(x.dtype),
+        v3(stacked_blocks["ln_1"]["scale"].astype(x.dtype)),
+        v3(stacked_blocks["ln_1"]["bias"].astype(x.dtype)),
         quant["attn"].get("ln_inv", ones),
         quant["attn"].get("ctx_inv", ones),
         quant["attn"].get("score_shift", ones),
-        quant["attn"]["w_qkv"].w_int8, quant["attn"]["w_qkv"].w_scale,
-        quant["attn"]["w_qkv"].bias,
-        quant["attn"]["w_out"].w_int8, quant["attn"]["w_out"].w_scale,
-        quant["attn"]["w_out"].bias,
-        stacked_blocks["ln_2"]["scale"].astype(x.dtype),
-        stacked_blocks["ln_2"]["bias"].astype(x.dtype),
+        quant["attn"]["w_qkv"].w_int8, v3(quant["attn"]["w_qkv"].w_scale),
+        v3(quant["attn"]["w_qkv"].bias),
+        quant["attn"]["w_out"].w_int8, v3(quant["attn"]["w_out"].w_scale),
+        v3(quant["attn"]["w_out"].bias),
+        v3(stacked_blocks["ln_2"]["scale"].astype(x.dtype)),
+        v3(stacked_blocks["ln_2"]["bias"].astype(x.dtype)),
         quant["mlp"].get("ln_inv", ones),
         quant["mlp"].get("h_inv", ones),
-        quant["mlp"]["c_fc"].w_int8, quant["mlp"]["c_fc"].w_scale,
-        quant["mlp"]["c_fc"].bias,
-        quant["mlp"]["c_proj"].w_int8, quant["mlp"]["c_proj"].w_scale,
-        quant["mlp"]["c_proj"].bias,
+        quant["mlp"]["c_fc"].w_int8, v3(quant["mlp"]["c_fc"].w_scale),
+        v3(quant["mlp"]["c_fc"].bias),
+        quant["mlp"]["c_proj"].w_int8, v3(quant["mlp"]["c_proj"].w_scale),
+        v3(quant["mlp"]["c_proj"].bias),
         bias,
     )
 
