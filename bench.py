@@ -287,6 +287,10 @@ def main() -> None:
         if os.environ.get(env):
             setattr(bk, attr, cast(os.environ[env]))
             knob_tag += f"-{attr.strip('_').lower()}{os.environ[env]}"
+    if os.environ.get("JCF_ASSEMBLE") == "0":
+        # engine-level knob (assembly-fusion off A/B) — tag only the
+        # non-default state so the adopted config keeps a stable cert key
+        knob_tag += "-noassemble"
     config_tag = f"b{batch}-v{n_views_total}-{quant or 'bf16'}{static_tag}{embed_tag}{knob_tag}"
     khash = _kernel_hash(config_tag)
     cert_state = _load_cert_state()

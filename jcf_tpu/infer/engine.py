@@ -16,6 +16,7 @@ B images instead of B*N crops (N x less PCIe/DCN traffic).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -26,6 +27,7 @@ from jcf_tpu.models.clip import (
     CLIPConfig,
     embed_views_nhcw,
     encode_image,
+    encode_image_rows_dense,
     encode_image_tokens,
     fold_normalize_into_embed,
 )
@@ -479,6 +481,54 @@ class TTAEngine:
 
             embed_q = jax.jit(_embed_quant)(w4_f32, fold_bias)
 
+        # fused token assembly (PERF.md r4): when the tower takes the dense
+        # flat-row path, the conv epilogue + CLS + pos + ln_pre + bf16 cast
+        # + dense flatten collapse into one Pallas pass and the padded
+        # [B', S, E] f32 intermediates (~8 ms/iter of glue at 4096 crops)
+        # never exist in HBM. TPU serving only; exact same numerics.
+        from jcf_tpu.ops.block_kernel import dense_rows_eligible
+
+        use_assembled_rows = (
+            os.environ.get("JCF_ASSEMBLE", "1") == "1"
+            and use_fused_views
+            and embed_impl in ("conv", "conv_i8")
+            and quant == "int8"
+            and impl in (None, "fused")
+            and jax.default_backend() == "tpu"
+            and not cfg.vision_prompt_tokens
+            and cfg.vision_seq_len < 128
+            and dense_rows_eligible(cfg.vision_seq_len, cfg.vision_heads)
+        )
+
+        def _rows_feats(params, acc_nhwc, col_scale, col_bias, b, n,
+                        text_weights):
+            # fused assembly path: conv NHWC output -> flat dense rows ->
+            # flat tower -> strided CLS extraction (no padded [B', S, E]
+            # HBM intermediates anywhere on the vision path)
+            from jcf_tpu.ops.assemble_kernel import (
+                assemble_dense_rows,
+                make_cls_row,
+            )
+
+            v_par = params["visual"]
+            lnp = v_par["ln_pre"]
+            pos = v_par["positional_embedding"]
+            cls_row = make_cls_row(
+                v_par["class_embedding"], pos[0], lnp["scale"], lnp["bias"],
+                dtype=dtype,
+            )
+            rows = assemble_dense_rows(
+                acc_nhwc, col_scale, col_bias, pos[1:], cls_row,
+                lnp["scale"], lnp["bias"], dtype=dtype,
+                interpret=jax.default_backend() != "tpu",
+            )
+            feats = encode_image_rows_dense(
+                params, cfg, rows, dtype=dtype, quant=quant_visual,
+                quant_folded=quant_folded,
+            )
+            feats = l2_normalize(feats).reshape(b, n, -1).astype(jnp.float32)
+            return solve_mta_batch(feats, text_weights, self.mta)
+
         def sample_view_spec(key, b, src_hw):
             # the whole batch's crop geometry from ONE key, outside the
             # (possibly sharded) compute: batched draws replace B per-image
@@ -526,7 +576,12 @@ class TTAEngine:
                             vq, k_q, (p, p), "VALID",
                             dimension_numbers=("NCHW", "OIHW", "NHWC"),
                             preferred_element_type=jnp.int32,
-                        ).reshape(b * n, g * g, -1)
+                        )  # [B', g, g, E] NHWC
+                        if use_assembled_rows:
+                            return _rows_feats(
+                                params, acc, k_sc, b_i8, b, n, text_weights
+                            )
+                        acc = acc.reshape(b * n, g * g, -1)
                     else:
                         # im2col s32 dot — same integers on backends
                         # without an int8 conv path (CPU tests)
@@ -547,12 +602,18 @@ class TTAEngine:
                     # that the explicit 6D dot paid ~5.8 ms of layout
                     # copies for (PERF.md r3: 2699 -> 2873 img/s)
                     kern = jnp.transpose(w4, (3, 0, 1, 2))  # [E, C, p, p]
-                    tokens = jax.lax.conv_general_dilated(
+                    acc = jax.lax.conv_general_dilated(
                         views.reshape(b * n, 3, g * p, g * p), kern,
                         (p, p), "VALID",
                         dimension_numbers=("NCHW", "OIHW", "NHWC"),
                         preferred_element_type=jnp.float32,
-                    ).reshape(b * n, g * g, -1) + fold_bias
+                    )  # [B', g, g, E] NHWC
+                    if use_assembled_rows:
+                        ones = jnp.ones((acc.shape[-1],), jnp.float32)
+                        return _rows_feats(
+                            params, acc, ones, fold_bias, b, n, text_weights
+                        )
+                    tokens = acc.reshape(b * n, g * g, -1) + fold_bias
                 else:
                     # patchify+embed as one 6D dot_general off NCHW
                     x6 = views.reshape(b * n, 3, g, p, g, p)

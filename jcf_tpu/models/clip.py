@@ -553,6 +553,40 @@ def encode_image_tokens(
     ).astype(dtype)
 
 
+def encode_image_rows_dense(
+    params: dict,
+    cfg: CLIPConfig,
+    rows: jax.Array,  # [B*S, E] flat dense rows (assemble_dense_rows)
+    *,
+    dtype=jnp.float32,
+    quant: Optional[dict] = None,
+    quant_folded: bool = False,
+) -> jax.Array:
+    """Vision tower over pre-assembled flat dense rows (TPU serving path).
+
+    ``rows`` is ``ops.assemble_kernel.assemble_dense_rows`` output: CLS
+    prepend, positional add and ln_pre are already applied and every crop
+    occupies S consecutive rows (CLS first). Together with
+    ``run_fused_tower(flat_s=)`` this keeps the whole vision path free of
+    padded [B, S, E] HBM intermediates (PERF.md r4 assembly fusion).
+    Numerically identical to ``encode_image_tokens`` for the same tokens.
+    """
+    from jcf_tpu.ops.block_kernel import run_fused_tower
+
+    v = params["visual"]
+    s = (cfg.image_resolution // cfg.vision_patch_size) ** 2 + 1
+    x = run_fused_tower(
+        rows.astype(dtype), v["blocks"], cfg.vision_heads, None,
+        quant=quant, quant_folded=quant_folded,
+        interpret=jax.default_backend() != "tpu", flat_s=s,
+    )
+    cls = layer_norm(x[::s], v["ln_post"]["scale"], v["ln_post"]["bias"])
+    return jnp.dot(
+        cls, v["proj"].astype(dtype), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(dtype)
+
+
 def encode_text_embeddings(
     params: dict,
     cfg: CLIPConfig,

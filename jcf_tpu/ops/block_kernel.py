@@ -1351,8 +1351,22 @@ def fused_block(
     )
 
 
+def dense_rows_eligible(s: int, n_heads: int, has_quant: bool = True) -> bool:
+    """True iff run_fused_tower would take the dense flat-row path for a
+    mask-free tower of sequence length ``s`` — the gate callers (engine
+    assembly fusion) must mirror before pre-flattening inputs."""
+    s_pad = ((s + _S_ALIGN - 1) // _S_ALIGN) * _S_ALIGN
+    use_mask = (
+        not (_PAIR_HEADS and n_heads % 2 == 0) or not _NOMASK_EPILOGUE
+    )
+    return (
+        _DENSE_ROWS and s_pad != s and not use_mask and has_quant
+        and _FUSE in ("halves", "stream") and not _ATTN_BATCHPAIRS
+    )
+
+
 def run_fused_tower(
-    x: jax.Array,  # [B, S, E]
+    x: jax.Array,  # [B, S, E] — or [B*S, E] flat dense rows with flat_s=S
     stacked_blocks: dict,
     n_heads: int,
     mask: Optional[jax.Array] = None,
@@ -1360,6 +1374,7 @@ def run_fused_tower(
     quant: "dict | None" = None,  # stacked int8 weights (quantize_clip_params)
     quant_folded: bool = False,  # quant built with fold=True (LN/scale folded)
     interpret: bool = False,
+    flat_s: Optional[int] = None,  # rows-per-crop when x is pre-flattened
 ) -> jax.Array:
     """Scan all layers through the fused block kernels.
 
@@ -1370,7 +1385,11 @@ def run_fused_tower(
     operand is unused. Pad rows carry garbage that never reaches real
     rows either way.
     """
-    b, s, e = x.shape
+    if flat_s is not None:
+        s, e = flat_s, x.shape[-1]
+        b = x.shape[0] // s
+    else:
+        b, s, e = x.shape
     s_pad = ((s + _S_ALIGN - 1) // _S_ALIGN) * _S_ALIGN
 
     use_mask = (
@@ -1385,6 +1404,10 @@ def run_fused_tower(
         and quant is not None and _FUSE in ("halves", "stream")
         and not _ATTN_BATCHPAIRS
     )
+    if flat_s is not None and not dense:
+        # pre-flattened caller but a non-dense kernel config: un-flatten
+        # (a compaction copy — correctness fallback, not the fast path)
+        x = x.reshape(b, s, e)
     if s_pad != s and not dense:
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
 
@@ -1394,13 +1417,13 @@ def run_fused_tower(
 
     kw = dict(interpret=interpret, s_real=s, use_mask=use_mask,
               quant_folded=quant_folded, dense=dense, s_pad=s_pad)
-    if dense:
+    if dense and flat_s is None:
         x = x.reshape(b * s, e)  # physical compaction: drops tile pad rows
     if dense and _FUSE == "stream":
         x = _stream_tower(x, stacked_blocks, quant, n_heads, bias,
                           s_real=s, s_pad=s_pad, interpret=interpret,
                           quant_folded=quant_folded)
-        return x.reshape(b, s, e)
+        return x if flat_s is not None else x.reshape(b, s, e)
     if quant is not None:
         def body(carry, scanned):
             layer_params, quant_layer = scanned
@@ -1416,5 +1439,8 @@ def run_fused_tower(
 
         x, _ = jax.lax.scan(body, x, stacked_blocks)
     if dense:
-        return x.reshape(b, s, e)
+        return x if flat_s is not None else x.reshape(b, s, e)
+    if flat_s is not None:
+        # non-dense fallback for a flat caller: re-flatten real rows
+        return (x[:, :s] if s_pad != s else x).reshape(b * s, e)
     return x[:, :s] if s_pad != s else x

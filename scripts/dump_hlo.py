@@ -20,9 +20,14 @@ def main():
     cfg = VIT_B_32
     params = init_clip_params(0, cfg)
     rng = np.random.default_rng(0)
-    images_np = rng.random((128, 3, 256, 256)).astype(np.float32)
+    images_np = rng.random(
+        (int(os.environ.get("JCF_TRACE_BATCH", "128")), 3, 256, 256)
+    ).astype(np.float32)
     engine = TTAEngine(params, cfg, dtype=jnp.bfloat16, n_views=7,
                        normalize_views=True, quant="int8",
+                       embed_impl=os.environ.get("JCF_TRACE_EMBED") or None,
+                       static_quant_mode=os.environ.get(
+                           "JCF_TRACE_STATIC_MODE", "hidden"),
                        calibration_images=images_np)
     images = jnp.asarray(images_np).astype(jnp.bfloat16)
     text = rng.standard_normal((403, cfg.embed_dim)).astype(np.float32)
