@@ -257,7 +257,7 @@ def main() -> None:
         _log(f"[bench +{time.perf_counter() - t_start:7.1f}s] {phase}")
 
     static_tag = (
-        f"-static{os.environ.get('JCF_BENCH_STATIC_MODE', 'hidden')}"
+        f"-static{os.environ.get('JCF_BENCH_STATIC_MODE', 'full')}"
         if os.environ.get("JCF_BENCH_STATIC", "1") == "1" else ""
     )
     # embed default is auto (conv_i8 for int8 engines); tag only explicit
@@ -298,7 +298,7 @@ def main() -> None:
     # cert gates: demonstrated-level thresholds for the adopted serving
     # default; experimental knob/mode configs keep the looser r2 gates
     is_default_cfg = not (knob_tag or embed_tag) and static_tag in (
-        "", "-statichidden"
+        "", "-staticfull"
     )
     if not is_default_cfg:
         os.environ.setdefault("JCF_BENCH_CERT_MIN_TOP1", "0.98")
@@ -327,7 +327,7 @@ def main() -> None:
         normalize_views=True,
         quant=quant,
         calibration_images=images_np if (static_act and quant) else None,
-        static_quant_mode=os.environ.get("JCF_BENCH_STATIC_MODE", "hidden"),
+        static_quant_mode=os.environ.get("JCF_BENCH_STATIC_MODE", "full"),
         embed_impl=os.environ.get("JCF_BENCH_EMBED") or None,
     )
 

@@ -109,9 +109,10 @@ class RuntimeConfig:
     # decoded batch (int8 fused path only; bench-certified)
     static_quant: bool = False
     # which quantizations go static: "ln" (post-LN only), "hidden"
-    # (+post-GELU; serving default), "full" (+attention ctx); an
+    # (+post-GELU), "full" (+attention ctx; serving default — benched
+    # +1.8% over hidden WITH a stronger cert at b1024, PERF.md r4); an
     # optional "+score" suffix adds the max-free softmax shift
-    static_quant_mode: str = "hidden"
+    static_quant_mode: str = "full"
     mesh_axis: str = "data"
     # shard serving image batches over all visible devices (params
     # replicated); single-device when only one device is visible

@@ -304,8 +304,8 @@ class TTAEngine:
         fused_views: bool = True,  # Pallas view+patchify kernel
         mesh=None,  # jax.sharding.Mesh with a "data" axis -> DP serving
         calibration_images=None,  # [B, 3, H, W] sample -> static act quant
-        static_quant_mode: str = "hidden",  # "ln" (post-LN) | "hidden" (+post-GELU) | "full" (+ctx)
-        embed_impl: Optional[str] = None,  # None=auto | "conv" | "conv_i8" | "dot6"
+        static_quant_mode: str = "full",  # "ln" (post-LN) | "hidden" (+post-GELU) | "full" (+ctx)
+        embed_impl: Optional[str] = None,  # None=auto | "conv" | "conv_i8" | "gemm_i8" | "dot6"
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -459,7 +459,7 @@ class TTAEngine:
         w4 = w4_f32.astype(dtype)
 
         embed_q = None
-        if embed_impl == "conv_i8":
+        if embed_impl in ("conv_i8", "gemm_i8"):
             # int8 patch embed (PERF.md r4): the view kernel emits int8
             # pixels q = round(v*254 - 127) (exact 8-bit affine quant of
             # [0,1] data — the JPEG source precision), the patchify conv
@@ -491,7 +491,7 @@ class TTAEngine:
         use_assembled_rows = (
             os.environ.get("JCF_ASSEMBLE", "1") == "1"
             and use_fused_views
-            and embed_impl in ("conv", "conv_i8")
+            and embed_impl in ("conv", "conv_i8", "gemm_i8")
             and quant == "int8"
             and impl in (None, "fused")
             and jax.default_backend() == "tpu"
@@ -557,21 +557,42 @@ class TTAEngine:
                 views = fused_views_nchw(
                     images, cy, cx, inv, cfg.image_resolution,
                     interpret=jax.default_backend() != "tpu",
-                    quantize=embed_impl == "conv_i8",
+                    quantize=embed_impl in ("conv_i8", "gemm_i8"),
                 )  # [B, N, C, o, q]
                 p = cfg.vision_patch_size
                 g = cfg.image_resolution // p
-                if embed_impl == "conv_i8":
-                    # int8 conv on TPU: XLA has no true int8 conv lowering
-                    # (the trace shows a convolution_convert_fusion, ~11 ms
-                    # at b512 vs 2.4 int8-GEMM-ideal) — but the measured
-                    # alternatives are WORSE in context: explicit im2col +
-                    # int8 dot benched 3235 vs 3347 img/s (int8 relayouts
-                    # through a 6D transpose), bf16 conv 3340. The int8
-                    # pixels still halve the views' HBM bytes.
+                if embed_impl in ("conv_i8", "gemm_i8"):
+                    # int8 patchify on TPU. Two forms, both int8 pixels:
+                    # - conv_i8: stride-p conv. XLA has no true int8 conv
+                    #   lowering (trace r4 post-assembly: conv fusion 9.8 +
+                    #   batch-minor views relayout 5.2 + output relayout
+                    #   2.0 = 17 ms/iter at b512 vs 2.4 int8-GEMM-ideal).
+                    # - gemm_i8: explicit im2col (6D transpose) + ONE flat
+                    #   s8xs8->s32 dot whose [B'*49, E] output is already
+                    #   the assemble kernel's canonical input layout (no
+                    #   conv layouts anywhere). Pre-assembly this benched
+                    #   3235 vs 3347 (the dot output fed XLA glue then);
+                    #   re-tested post-assembly where it replaces all three
+                    #   conv-section relayouts.
                     k_q, k_sc, b_i8 = embed_q
                     vq = views.reshape(b * n, 3, g * p, g * p)
-                    if jax.default_backend() == "tpu":
+                    if embed_impl == "gemm_i8" and jax.default_backend() == "tpu":
+                        x6 = (
+                            vq.reshape(b * n, 3, g, p, g, p)
+                            .transpose(0, 2, 4, 1, 3, 5)
+                            .reshape(b * n * g * g, 3 * p * p)
+                        )
+                        acc = jax.lax.dot_general(
+                            x6, k_q.reshape(k_q.shape[0], -1).T,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        ).reshape(b * n, g, g, -1)  # [B', g, g, E]
+                        if use_assembled_rows:
+                            return _rows_feats(
+                                params, acc, k_sc, b_i8, b, n, text_weights
+                            )
+                        acc = acc.reshape(b * n, g * g, -1)
+                    elif jax.default_backend() == "tpu":
                         acc = jax.lax.conv_general_dilated(
                             vq, k_q, (p, p), "VALID",
                             dimension_numbers=("NCHW", "OIHW", "NHWC"),

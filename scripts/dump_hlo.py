@@ -27,7 +27,7 @@ def main():
                        normalize_views=True, quant="int8",
                        embed_impl=os.environ.get("JCF_TRACE_EMBED") or None,
                        static_quant_mode=os.environ.get(
-                           "JCF_TRACE_STATIC_MODE", "hidden"),
+                           "JCF_TRACE_STATIC_MODE", "full"),
                        calibration_images=images_np)
     images = jnp.asarray(images_np).astype(jnp.bfloat16)
     text = rng.standard_normal((403, cfg.embed_dim)).astype(np.float32)

@@ -32,7 +32,7 @@ def main():
     engine = TTAEngine(params, cfg, dtype=jnp.bfloat16, n_views=7,
                        normalize_views=True, quant="int8",
                        embed_impl=os.environ.get("JCF_TRACE_EMBED", "conv"),
-                       static_quant_mode=os.environ.get("JCF_TRACE_STATIC_MODE", "hidden"),
+                       static_quant_mode=os.environ.get("JCF_TRACE_STATIC_MODE", "full"),
                        calibration_images=(
                            images_np if os.environ.get("JCF_TRACE_STATIC", "1") == "1"
                            else None))
