@@ -688,15 +688,18 @@ def _block_int8_kernel(
     bias_ref, out_ref,
     *, n_heads, head_dim, scale, group, s_pad,
     s_real=None, use_mask=True, folded=False, static_act=False,
-    static_ctx=False, static_h=False, static_shift=False,
+    static_ctx=False, static_h=False, static_shift=False, dense=False,
 ):
     """One whole transformer block, int8 W8A8: the residual stream never
-    leaves VMEM between the attention and MLP halves. Supports the same
-    folded/static-quant/mask-free options as the halves kernels."""
+    leaves VMEM between the attention and MLP halves — half the kernel
+    boundaries of the halves variant, each worth ~1.07 ms of x HBM
+    round-trip at serving scale (scripts/exp_boundary_cost.py, r4).
+    Supports the same folded/static-quant/mask-free/dense options as the
+    halves kernels."""
     e = n_heads * head_dim
-    gs = group * s_pad
+    gs = group * (s_real if dense else s_pad)
 
-    rows = x_ref[...].reshape(gs, e)
+    rows = x_ref[...] if dense else x_ref[...].reshape(gs, e)
     h_ln = (
         _ln_norm(rows) if folded
         else _ln_rows(rows, ln1_s_ref[...], ln1_b_ref[...])
@@ -708,11 +711,29 @@ def _block_int8_kernel(
     qkv = _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref).astype(
         jnp.bfloat16
     )
+    if dense:
+        # VMEM repack: dense [G*S, 3E] -> padded [G*S_pad, 3E] for the
+        # attention views, unpacked right after (same as the attn half)
+        qkv = jnp.concatenate(
+            [
+                jnp.pad(
+                    qkv[g * s_real : (g + 1) * s_real],
+                    ((0, s_pad - s_real), (0, 0)),
+                )
+                for g in range(group)
+            ],
+            axis=0,
+        )
     ctx = _batched_attention(
         qkv, bias_ref[...], n_heads, head_dim, None if folded else scale,
         group, s_pad, s_real=s_real, use_mask=use_mask,
         score_shift=shift_ref[0, 0] if static_shift else None,
     )
+    if dense:
+        ctx = jnp.concatenate(
+            [ctx[g * s_pad : g * s_pad + s_real] for g in range(group)],
+            axis=0,
+        )
     if static_ctx:
         c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
     else:
@@ -736,7 +757,8 @@ def _block_int8_kernel(
     else:
         h_q, h_sc = _quant_rows(hidden)
     out = mid + _int8_gemm(h_q, h_sc, wproj_i8_ref, wproj_sc_ref, bproj_ref)
-    out_ref[...] = out.astype(out_ref.dtype).reshape(group, s_pad, e)
+    out = out.astype(out_ref.dtype)
+    out_ref[...] = out if dense else out.reshape(group, s_pad, e)
 
 
 def _stream_tower_int8_kernel(
@@ -1242,12 +1264,16 @@ def fused_block(
     """One full transformer block through the fused kernels.
 
     Default is the two-kernel halves variant (attention half / MLP half) —
-    measured faster than the single whole-block kernel on v5e (45.0 vs
-    47.5 ms for the 12-layer int8 tower at 1024 crops; the whole-block
-    program's VMEM pressure costs more than the inter-half HBM round trip
-    saves). ``_FUSE = "block"`` selects the whole-block kernel."""
-    if dense and (_FUSE == "block" or quant_layer is None):
-        raise ValueError("dense row stream requires the int8 halves variant")
+    measured faster than the single whole-block kernel on v5e both pre-
+    dense (45.0 vs 47.5 ms at 1024 crops, r2) and on the dense row stream
+    (3745 vs 3440 img/s full-bench at b1024, r4): the whole-block
+    program's VMEM working set (weights + qkv + f32 hidden per tile)
+    costs more in pipelining than the saved inter-half x round-trip
+    (~1.07 ms/boundary, scripts/exp_boundary_cost.py) buys.
+    ``_FUSE = "block"`` selects the whole-block kernel (dense supported
+    since r4)."""
+    if dense and quant_layer is None:
+        raise ValueError("dense row stream requires the int8 kernels")
     if _FUSE != "block":
         # "halves" (default) — also the per-layer fallback for "stream"
         # configs that aren't stream-eligible (masked/f32/non-dense towers)
@@ -1256,7 +1282,11 @@ def fused_block(
                              quant_folded=quant_folded, dense=dense,
                              s_pad=s_pad)
 
-    b, s_pad, e = x.shape
+    if dense:
+        b_rows, e = x.shape
+        b = b_rows // s_real
+    else:
+        b, s_pad, e = x.shape
     d = e // n_heads
     precision = _HI if x.dtype == jnp.float32 else None
     group = _pick_group(b, _GROUP_TARGET)
@@ -1265,6 +1295,13 @@ def fused_block(
 
     def full(shape):
         return vmem(shape, lambda i: tuple(0 for _ in shape))
+
+    if dense:
+        x_tile = vmem((group * s_real, e), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((b_rows, e), x.dtype)
+    else:
+        x_tile = vmem((group, s_pad, e), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, s_pad, e), x.dtype)
 
     if quant_layer is not None:
         hidden_dim = quant_layer["mlp"]["c_fc"].w_int8.shape[0]
@@ -1279,11 +1316,11 @@ def fused_block(
                 scale=1.0 / math.sqrt(d), group=group, s_pad=s_pad,
                 s_real=s_real, use_mask=use_mask, folded=quant_folded,
                 static_act=static_act, static_ctx=static_ctx,
-                static_h=static_h, static_shift=static_shift,
+                static_h=static_h, static_shift=static_shift, dense=dense,
             ),
             grid=(b // group,),
             in_specs=[
-                vmem((group, s_pad, e), lambda i: (i, 0, 0)),
+                x_tile,
                 full((e,)), full((e,)), full((1, 1)), full((1, 1)),
                 full((1, 1)),
                 full((3 * e, e)), full((3 * e,)), full((3 * e,)),
@@ -1293,8 +1330,8 @@ def fused_block(
                 full((e, hidden_dim)), full((e,)), full((e,)),
                 full((s_pad, s_pad)),
             ],
-            out_specs=vmem((group, s_pad, e), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, s_pad, e), x.dtype),
+            out_specs=x_tile,
+            out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
         )(
@@ -1361,7 +1398,7 @@ def dense_rows_eligible(s: int, n_heads: int, has_quant: bool = True) -> bool:
     )
     return (
         _DENSE_ROWS and s_pad != s and not use_mask and has_quant
-        and _FUSE in ("halves", "stream") and not _ATTN_BATCHPAIRS
+        and _FUSE in ("halves", "stream", "block") and not _ATTN_BATCHPAIRS
     )
 
 
@@ -1401,7 +1438,7 @@ def run_fused_tower(
     # VMEM) — serving vision tower only: int8 halves, mask-free epilogue
     dense = (
         _DENSE_ROWS and s_pad != s and not use_mask
-        and quant is not None and _FUSE in ("halves", "stream")
+        and quant is not None and _FUSE in ("halves", "stream", "block")
         and not _ATTN_BATCHPAIRS
     )
     if flat_s is not None and not dense:

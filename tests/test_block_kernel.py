@@ -389,6 +389,38 @@ def test_fused_tower_dense_rows_matches_padded(monkeypatch):
     np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
 
 
+def test_fused_tower_dense_block_matches_halves(monkeypatch):
+    """_FUSE="block" on the DENSE row stream (r4): the whole-block kernel
+    repacks/unpacks around attention exactly like the attn half, so the
+    single-kernel layer (one x HBM round-trip instead of two) computes
+    the identical quantized function as the dense halves scan. Covers
+    folded+static and plain dynamic trees, plus the flat_s entry."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(23, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    for fold in (True, False):
+        q = quantize_clip_params(
+            params, fold=fold, heads={"visual": 1, "text": 2}
+        ) if fold else quantize_clip_params(params)
+        base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                          quant=q["text"], quant_folded=fold,
+                                          interpret=True))
+        monkeypatch.setattr(bk, "_FUSE", "block")
+        out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                         quant=q["text"], quant_folded=fold,
+                                         interpret=True))
+        flat = np.asarray(run_fused_tower(
+            x.reshape(4 * 17, 128), params["text"]["blocks"], 2, None,
+            quant=q["text"], quant_folded=fold, interpret=True, flat_s=17,
+        ))
+        monkeypatch.setattr(bk, "_FUSE", "halves")
+        np.testing.assert_array_equal(out, base)
+        np.testing.assert_array_equal(flat, base.reshape(4 * 17, 128))
+
+
 def test_fused_tower_stream_matches_halves(monkeypatch):
     """_FUSE="stream": the layer-streaming whole-tower kernel (residual
     tile VMEM-resident across all 2L half-steps, weights streamed per

@@ -156,6 +156,35 @@ def test_engine_int8_embed_tracks_float():
     assert cos.min() > 0.99, cos
 
 
+def test_engine_int8_long_sequence_tower():
+    """int8 engine on a >=128-token vision tower (ViT-B/16 shape class):
+    the fused path and quant folding are gated on vision_seq_len < 128
+    (ADVICE r3 medium — folding used to be decided without the gate and
+    the composable path then crashed on folded trees). This pins the
+    composable int8 path end to end at 145 tokens."""
+    cfg = CLIPConfig(
+        embed_dim=48, image_resolution=96, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=120,
+        text_width=128, text_heads=2, text_layers=2,
+    )
+    assert cfg.vision_seq_len >= 128, cfg.vision_seq_len
+    params = init_clip_params(0, cfg)
+    images = jnp.asarray(RNG.random((2, 3, 112, 112)).astype(np.float32))
+    text = jnp.asarray(RNG.standard_normal((5, 48)).astype(np.float32))
+    text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(5)
+
+    ref = TTAEngine(params, cfg, n_views=2, normalize_views=True)
+    q = TTAEngine(params, cfg, n_views=2, normalize_views=True, quant="int8")
+    m_ref = np.asarray(ref.features_from_images(images, text, key))
+    m_q = np.asarray(q.features_from_images(images, text, key))
+    assert np.isfinite(m_q).all()
+    cos = np.sum(m_ref * m_q, -1) / (
+        np.linalg.norm(m_ref, axis=-1) * np.linalg.norm(m_q, axis=-1)
+    )
+    assert cos.min() > 0.99, cos
+
+
 def test_ensemble_formulas():
     d, c = 8, 5
     g = lambda *s: jnp.asarray(RNG.standard_normal(s).astype(np.float32))
