@@ -283,6 +283,7 @@ def main() -> None:
         ("JCF_BENCH_DENSE", "_DENSE_ROWS", lambda v: v == "1"),
         ("JCF_BENCH_FUSE", "_FUSE", str),
         ("JCF_BENCH_GROUP_STREAM", "_GROUP_STREAM", int),
+        ("JCF_BENCH_PARGRID", "_PAR_GRID", lambda v: v == "1"),
     ):
         if os.environ.get(env):
             setattr(bk, attr, cast(os.environ[env]))

@@ -963,6 +963,9 @@ _ATTN_STUB = False  # debug: bypass attention math (perf attribution only)
 # epilogue + LN folding shrank the VPU tail enough that the split's extra
 # copies now lose (38.47 ms at 1 vs 38.86 at 2 — PERF.md r3 sweep).
 _SUBTILES = 1
+# declare the halves grids parallel (independent crop tiles) so Mosaic may
+# overlap adjacent grid steps' compute; A/B knob (JCF_BENCH_PARGRID)
+_PAR_GRID = False
 # Two heads per MXU pass (zero-masked K/V stacking, exact): full 128-lane
 # contraction and half the dot_general count vs the per-head loop.
 _PAIR_HEADS = True
@@ -1030,6 +1033,13 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         else:
             tile = vmem((group, s_pad, e), lambda i: (i, 0, 0))
             shape = (b, s_pad, e)
+        cp = dict(vmem_limit_bytes=_VMEM_LIMIT)
+        if _PAR_GRID:
+            # grid steps are independent crop tiles: declaring the grid
+            # dimension parallel lets Mosaic overlap adjacent steps'
+            # compute (not just their DMAs) — targets the MXU-idle-during-
+            # VPU serial chain the r4 attribution measured
+            cp["dimension_semantics"] = ("parallel",)
         return tile, dict(
             grid=(b // group,),
             out_specs=tile,
@@ -1037,7 +1047,7 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
             # f32 halves (cert/reference runs) exceed the 16MB scoped-vmem
             # default (c_fc+c_proj f32 ~19MB); raise the cap like the
             # whole-block variant does
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            compiler_params=pltpu.CompilerParams(**cp),
             interpret=interpret,
         )
 
