@@ -554,13 +554,21 @@ class TTAEngine:
                 # the wy/wx/t/rev HBM materializations of the XLA view
                 # pipeline (scripts/trace_bench.py; ops/view_kernel.py)
                 cy, cx, inv = spec
+                p = cfg.vision_patch_size
+                g = cfg.image_resolution // p
+                # patch-row-split emission for the conv1d patchify: the
+                # (C*p)-channel 1D conv avoids XLA's shallow-conv batch-
+                # minor layouts (17.2 -> 6.3 ms at 4096 crops, PERF.md r4)
+                py_split = (
+                    p if embed_impl == "conv_i8"
+                    and jax.default_backend() == "tpu" else 0
+                )
                 views = fused_views_nchw(
                     images, cy, cx, inv, cfg.image_resolution,
                     interpret=jax.default_backend() != "tpu",
                     quantize=embed_impl in ("conv_i8", "gemm_i8"),
-                )  # [B, N, C, o, q]
-                p = cfg.vision_patch_size
-                g = cfg.image_resolution // p
+                    py_split=py_split,
+                )  # [B, N, C, o, q] — or [B, N, g, C, p, o] py-split
                 if embed_impl in ("conv_i8", "gemm_i8"):
                     # int8 patchify on TPU. Two forms, both int8 pixels:
                     # - conv_i8: stride-p conv. XLA has no true int8 conv
@@ -575,8 +583,26 @@ class TTAEngine:
                     #   re-tested post-assembly where it replaces all three
                     #   conv-section relayouts.
                     k_q, k_sc, b_i8 = embed_q
-                    vq = views.reshape(b * n, 3, g * p, g * p)
-                    if embed_impl == "gemm_i8" and jax.default_backend() == "tpu":
+                    if py_split:
+                        # [B, N, g, 3, p, o] -> (C*p)-channel stride-p
+                        # conv1d; output rows land (b, py, px)-ordered —
+                        # exactly the NHWC acc the assemble path consumes
+                        # (same integers as the 2D conv: conv1d==conv2d
+                        # pinned in scripts/exp_conv1d_patchify.py + tests)
+                        v1 = views.reshape(b * n * g, 3 * p, g * p)
+                        acc = jax.lax.conv_general_dilated(
+                            v1, k_q.reshape(k_q.shape[0], 3 * p, p),
+                            (p,), "VALID",
+                            dimension_numbers=("NCW", "OIW", "NWC"),
+                            preferred_element_type=jnp.int32,
+                        ).reshape(b * n, g, g, -1)  # [B', g, g, E]
+                        if use_assembled_rows:
+                            return _rows_feats(
+                                params, acc, k_sc, b_i8, b, n, text_weights
+                            )
+                        acc = acc.reshape(b * n, g * g, -1)
+                    elif embed_impl == "gemm_i8" and jax.default_backend() == "tpu":
+                        vq = views.reshape(b * n, 3, g * p, g * p)
                         x6 = (
                             vq.reshape(b * n, 3, g, p, g, p)
                             .transpose(0, 2, 4, 1, 3, 5)
@@ -593,6 +619,7 @@ class TTAEngine:
                             )
                         acc = acc.reshape(b * n, g * g, -1)
                     elif jax.default_backend() == "tpu":
+                        vq = views.reshape(b * n, 3, g * p, g * p)
                         acc = jax.lax.conv_general_dilated(
                             vq, k_q, (p, p), "VALID",
                             dimension_numbers=("NCHW", "OIHW", "NHWC"),
@@ -606,6 +633,7 @@ class TTAEngine:
                     else:
                         # im2col s32 dot — same integers on backends
                         # without an int8 conv path (CPU tests)
+                        vq = views.reshape(b * n, 3, g * p, g * p)
                         x6 = (
                             vq.reshape(b * n, 3, g, p, g, p)
                             .transpose(0, 2, 4, 1, 3, 5)

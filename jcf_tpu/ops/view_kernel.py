@@ -62,8 +62,10 @@ def _view_kernel(
     cy_ref,      # [1, V, out] f32 row centers
     cx_ref,      # [1, V, out] f32 col centers (flip already folded)
     inv_ref,     # [1, V, 2] f32 inverse supports (y, x)
-    out_ref,     # [1, V, C, out, out] views, NCHW (bf16, or int8 pixels)
+    out_ref,     # [1, V, C, out, out] NCHW — or [1, V, g, C, p, out] with
+                 # py_split (patch-row-split slabs for the conv1d embed)
     *, n_views, out_size, channels, h_src, w_src, quantize=False,
+    py_split=0,
 ):
     # Mosaic rejects sublane<->lane shape casts and strided middle-dim
     # stores, so the patch regroup stays outside; in-kernel everything is
@@ -95,7 +97,18 @@ def _view_kernel(
                 # the patch-embed bias (engine "conv_i8" path). 8-bit
                 # steps == the JPEG source precision.
                 view = jnp.clip(jnp.round(view * 254.0 - 127.0), -127, 127)
-            out_ref[0, v, c] = view.astype(out_ref.dtype)
+            if py_split:
+                # patch-row-split emission (PERF.md r4): the same pixels
+                # stored as [g(py), C, p(dy), out] slabs, so the patchify
+                # becomes a 96-channel conv1d over lanes-x (XLA lowers it
+                # 2.7x faster than the shallow C=3 conv2d). Pure store
+                # reordering — g trailing-2D stores per channel.
+                p = py_split
+                view = view.astype(out_ref.dtype)
+                for py in range(out_size // p):
+                    out_ref[0, v, py, c] = view[py * p : (py + 1) * p]
+            else:
+                out_ref[0, v, c] = view.astype(out_ref.dtype)
 
 
 def sample_view_centers(
@@ -142,22 +155,41 @@ def fused_views_nchw(
     *,
     interpret: bool = False,
     quantize: bool = False,
+    py_split: int = 0,
 ) -> jax.Array:
     """-> [B, V, C, out, out] NCHW TTA views, value-identical to
     ``device_tta_views_nhcw`` (transposed) for the same boxes;
     interpolation weights, both resample GEMMs and the flip all stay in
     VMEM (one image per program) instead of materializing wy/wx/t/rev in
     HBM. ``quantize=True`` emits int8 pixels ``round(v*254 - 127)`` for
-    the int8 patch embed (halves the views' HBM bytes)."""
+    the int8 patch embed (halves the views' HBM bytes).
+
+    ``py_split=p`` (a patch size dividing ``out_size``) emits the SAME
+    pixels as [B, V, g, C, p, out] patch-row-split slabs (g = out/p): a
+    free reshape then feeds the patchify as a (C*p)-channel stride-p
+    conv1d, which XLA lowers 2.7x faster than the shallow C-channel 2D
+    conv (17.2 -> 6.3 ms at 4096 crops; scripts/exp_conv1d_patchify.py)."""
     b, c, h, w = images.shape
     n_views = cy.shape[1]
     out_dtype = jnp.int8 if quantize else images.dtype
+
+    if py_split:
+        assert out_size % py_split == 0
+        g = out_size // py_split
+        out_block = (1, n_views, g, c, py_split, out_size)
+        out_index = lambda i: (i, 0, 0, 0, 0, 0)
+        out_shape = (b, n_views, g, c, py_split, out_size)
+    else:
+        out_block = (1, n_views, c, out_size, out_size)
+        out_index = lambda i: (i, 0, 0, 0, 0)
+        out_shape = (b, n_views, c, out_size, out_size)
 
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(
             _view_kernel, n_views=n_views, out_size=out_size,
             channels=c, h_src=h, w_src=w, quantize=quantize,
+            py_split=py_split,
         ),
         grid=(b,),
         in_specs=[
@@ -166,11 +198,7 @@ def fused_views_nchw(
             vmem((1, n_views, out_size), lambda i: (i, 0, 0)),
             vmem((1, n_views, 2), lambda i: (i, 0, 0)),
         ],
-        out_specs=vmem(
-            (1, n_views, c, out_size, out_size), lambda i: (i, 0, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (b, n_views, c, out_size, out_size), out_dtype
-        ),
+        out_specs=vmem(out_block, out_index),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         interpret=interpret,
     )(images, cy, cx, inv)
