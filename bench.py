@@ -284,6 +284,8 @@ def main() -> None:
         ("JCF_BENCH_FUSE", "_FUSE", str),
         ("JCF_BENCH_GROUP_STREAM", "_GROUP_STREAM", int),
         ("JCF_BENCH_PARGRID", "_PAR_GRID", lambda v: v == "1"),
+        ("JCF_BENCH_INT8_ATTN", "_INT8_ATTN", lambda v: v == "1"),
+        ("JCF_BENCH_S_ALIGN", "_S_ALIGN", int),
     ):
         if os.environ.get(env):
             setattr(bk, attr, cast(os.environ[env]))
