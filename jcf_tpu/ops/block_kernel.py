@@ -987,7 +987,12 @@ _INT8_ATTN = False
 # Sequence padding multiple. 8 is the f32 sublane tile; 16 aligns per-crop
 # row blocks to the bf16 sublane tile (S=50 -> 64), trading ~14% more GEMM
 # rows for relayout-free [G, S, D] views inside the attention section.
-_S_ALIGN = 8
+# Default 16 since the r4 on-chip A/B (4114 vs 3987 img/s at b1024, +3.2%):
+# with _DENSE_ROWS the pad exists only inside the attn-half kernel's VMEM
+# repack, so the tile-aligned [G, 64, 128] score/PV dots come pad-free in
+# HBM — the combination the r3 pad-to-64 experiment couldn't reach while
+# the structural pad still rode every GEMM. JCF_BENCH_S_ALIGN overrides.
+_S_ALIGN = 16
 # Dense row stream (JCF_BENCH_DENSE): the tower activations ride as a FLAT
 # [B*S, E] array — no per-crop S->S_pad padding anywhere in HBM or in the
 # GEMMs (any [B, S, E] array with S=50 is PHYSICALLY padded to the sublane
