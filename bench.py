@@ -40,7 +40,9 @@ JCF_BENCH_STATIC=1|0 (calibrated static activation scales),
 JCF_BENCH_STATIC_MODE=ln|hidden|full with optional +score suffix
 (max-free softmax shift), JCF_BENCH_EMBED=conv|dot6,
 JCF_BENCH_CERT_DEADLINE (s), JCF_BENCH_STRICT=1 (exit nonzero on cert
-infrastructure failures, not just assertion failures).
+infrastructure failures, not just assertion failures),
+JCF_BENCH_CERT_TRAINED=1|0 + JCF_BENCH_TRAIN_STEPS + JCF_BENCH_TRAINED_DEADLINE
+(trained-weights ranking cert: real stage-1 LoRA steps, merge, re-cert).
 """
 
 from __future__ import annotations
@@ -120,7 +122,8 @@ def _save_cert_state(state: dict) -> None:
         _log(f"cert state persist failed (non-fatal): {exc}")
 
 
-def _ranking_certificate(engine_q, params, cfg, images, text, key) -> dict:
+def _ranking_certificate(engine_q, params, cfg, images, text, key,
+                         weights_tag="random-init", prefix="int8") -> dict:
     """int8 vs f32 through the same pipeline on the same crops."""
     from jcf_tpu.infer import TTAEngine
 
@@ -155,17 +158,124 @@ def _ranking_certificate(engine_q, params, cfg, images, text, key) -> dict:
         )
     )
     _log(
-        f"cert int8-vs-f32: top1_agree={top1_agree:.4f} "
+        f"cert int8-vs-f32 [{weights_tag}]: top1_agree={top1_agree:.4f} "
         f"top5_overlap={overlap:.4f} mode_cos={cos:.6f}"
     )
     assert top1_agree >= min_top1, f"int8 flips top-1 rankings: {top1_agree}"
     assert overlap >= min_top5, f"int8 flips top-5 rankings: {overlap}"
-    return {
-        "int8_top1_agree": round(top1_agree, 4),
-        "int8_top5_overlap": round(overlap, 4),
-        "int8_mode_cos": round(cos, 6),
-        "cert_weights": "random-init",
+    fields = {
+        f"{prefix}_top1_agree": round(top1_agree, 4),
+        f"{prefix}_top5_overlap": round(overlap, 4),
+        f"{prefix}_mode_cos": round(cos, 6),
     }
+    fields["cert_weights" if prefix == "int8" else f"{prefix}_weights"] = (
+        weights_tag
+    )
+    return fields
+
+
+def _trained_certificate(cfg, n_views, static_act, quant) -> dict:
+    """Ranking cert on STAGE-1-TRAINED weights (VERDICT r4 #4).
+
+    Random-init weights produce near-uniform logit margins — arguably the
+    hardest case for int8-vs-f32 rank stability, but not the deployed
+    case. This phase runs ~500 real stage-1 LoRA steps (reference recipe:
+    bs 256, AdamW 2e-4/wd 1e-2, CE over 100*img@text^T,
+    /root/reference/lora_train_vlp.py:940-1002) on a fixed synthetic
+    few-shot set until the model memorizes it (sharp margins), merges the
+    LoRA into the qkv weights, builds a REAL text classifier through the
+    trained text tower, and re-runs the int8-vs-f32 ranking cert on
+    in-distribution (train) images.
+    """
+    from jcf_tpu.infer import TTAEngine
+    from jcf_tpu.models.clip import encode_text
+    from jcf_tpu.models import init_clip_params
+    from jcf_tpu.peft import LoraSpec, init_lora_params
+    from jcf_tpu.peft.lora import merge_lora_params
+    from jcf_tpu.tokenizer import tokenize
+    from jcf_tpu.train import adamw, make_stage1_step
+
+    steps = int(os.environ.get("JCF_BENCH_TRAIN_STEPS", "500"))
+    bs = 256
+    n_syn = 512  # fixed synthetic few-shot set: 500 steps = ~250 epochs
+    params = init_clip_params(0, cfg)
+    spec = LoraSpec()  # r=4, alpha=1, q/k/v both towers, all layers
+    lora = init_lora_params(
+        1, spec, cfg.text_layers, cfg.text_width,
+        cfg.vision_layers, cfg.vision_width,
+    )
+    # distinct multi-word class names: prompts differing only in a single
+    # digit token make the 403 text prototypes nearly collinear, which
+    # makes top-1 among them numerically ill-conditioned in a way real
+    # class vocabularies (classes.txt) are not — measured 0.9414 top-1
+    # agreement with "class {i}" prompts vs >=0.99 with distinct names
+    words = [
+        "red", "blue", "green", "small", "large", "striped", "spotted",
+        "wild", "ancient", "shiny", "wooden", "metal", "furry", "sleek",
+    ]
+    nouns = [
+        "falcon", "beetle", "orchid", "glacier", "engine", "castle",
+        "lantern", "violin", "reactor", "canyon", "moth", "pagoda",
+        "trawler", "comet", "bison", "teapot", "turbine", "mosaic",
+        "sundial", "zeppelin", "anvil", "fjord", "quartz", "bramble",
+        "gondola", "falafel", "obelisk", "tundra", "wombat",
+    ]
+    names = [
+        f"{words[i % len(words)]} {nouns[(i // len(words)) % len(nouns)]} "
+        f"{words[(i * 7 + 3) % len(words)]}"
+        for i in range(403)
+    ]
+    bank = np.asarray(
+        tokenize([f"a photo of a {n}." for n in names], truncate=True)
+    )
+    banks = jnp.asarray(bank[None])
+    init_state, step_fn, frozen = make_stage1_step(
+        params, cfg, spec, banks, adamw(lr=2e-4, weight_decay=1e-2),
+        dtype=jnp.bfloat16,
+    )
+    step = jax.jit(step_fn, donate_argnums=(1,))
+    state = init_state(lora)
+
+    rng = np.random.default_rng(7)
+    sources = jnp.asarray(rng.random((n_syn, 3, 256, 256)).astype(np.float32))
+    train_imgs = sources[:, :, 16:240, 16:240]  # center 224 crop
+    labels = jnp.asarray(rng.integers(0, 374, n_syn).astype(np.int32))
+
+    losses = []
+    for i in range(steps):
+        idx = (np.arange(bs) + i * bs) % n_syn
+        state, metrics = step(
+            frozen, state, train_imgs[jnp.asarray(idx)],
+            labels[jnp.asarray(idx)], 0, jax.random.PRNGKey(i),
+        )
+        if i % 100 == 0 or i == steps - 1:
+            losses.append(float(metrics["loss"]))
+            _log(f"  stage-1 step {i}: loss {losses[-1]:.4f}")
+    assert losses[-1] < losses[0], f"stage-1 loss did not decrease: {losses}"
+
+    merged = merge_lora_params(params, jax.device_get(state.lora), spec)
+    emb = np.asarray(
+        encode_text(merged, cfg, jnp.asarray(bank), dtype=jnp.bfloat16)
+    ).astype(np.float32)
+    text_tr = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+    text_tr = jax.device_put(jnp.asarray(text_tr))
+
+    cert_imgs = sources[:256].astype(jnp.bfloat16)
+    engine_tr = TTAEngine(
+        merged, cfg, dtype=jnp.bfloat16, n_views=n_views,
+        normalize_views=True, quant=quant,
+        calibration_images=np.asarray(sources[:256]) if static_act else None,
+        static_quant_mode=os.environ.get("JCF_BENCH_STATIC_MODE", "full"),
+        embed_impl=os.environ.get("JCF_BENCH_EMBED") or None,
+    )
+    fields = _ranking_certificate(
+        engine_tr, merged, cfg, cert_imgs, text_tr, jax.random.PRNGKey(99),
+        weights_tag="stage1-trained", prefix="trained",
+    )
+    fields["trained_steps"] = steps
+    fields["trained_loss_first"] = round(losses[0], 4)
+    fields["trained_loss_last"] = round(losses[-1], 4)
+    return fields
 
 
 def _kernel_smoke(params, cfg) -> str:
@@ -270,22 +380,38 @@ def main() -> None:
     # stay authoritative; overrides tag the cert/cache key)
     import jcf_tpu.ops.block_kernel as bk
 
+    def _bool_knob(v: str) -> bool:
+        # strict 0/1: 'true'/'yes' silently disabling a knob while its tag
+        # still lands in the cert key mislabels the run (ADVICE r4)
+        if v not in ("0", "1"):
+            raise SystemExit(f"boolean bench knob must be '0' or '1', got {v!r}")
+        return v == "1"
+
+    def _pos_int_knob(v: str) -> int:
+        # S_ALIGN=0 would ZeroDivisionError deep in s_pad math; group/
+        # subtile counts <= 0 are equally meaningless (ADVICE r4)
+        iv = int(v)
+        if iv < 1:
+            raise SystemExit(f"integer bench knob must be >= 1, got {v!r}")
+        return iv
+
     knob_tag = ""
     for env, attr, cast in (
-        ("JCF_BENCH_SUBTILES", "_SUBTILES", int),
-        ("JCF_BENCH_GROUP", "_GROUP_TARGET", int),
-        ("JCF_BENCH_GROUP_ATTN", "_GROUP_ATTN", int),
-        ("JCF_BENCH_GROUP_MLP", "_GROUP_MLP", int),
-        ("JCF_BENCH_MLP_NSPLIT", "_MLP_NSPLIT", int),
-        ("JCF_BENCH_EPI_BF16", "_EPI_BF16", lambda v: v == "1"),
-        ("JCF_BENCH_ATTN_STUB", "_ATTN_STUB", lambda v: v == "1"),
-        ("JCF_BENCH_ATTN_BATCHPAIRS", "_ATTN_BATCHPAIRS", lambda v: v == "1"),
-        ("JCF_BENCH_DENSE", "_DENSE_ROWS", lambda v: v == "1"),
+        ("JCF_BENCH_SUBTILES", "_SUBTILES", _pos_int_knob),
+        ("JCF_BENCH_GROUP", "_GROUP_TARGET", _pos_int_knob),
+        ("JCF_BENCH_GROUP_ATTN", "_GROUP_ATTN", _pos_int_knob),
+        ("JCF_BENCH_GROUP_MLP", "_GROUP_MLP", _pos_int_knob),
+        ("JCF_BENCH_MLP_NSPLIT", "_MLP_NSPLIT", _pos_int_knob),
+        ("JCF_BENCH_EPI_BF16", "_EPI_BF16", _bool_knob),
+        ("JCF_BENCH_ATTN_STUB", "_ATTN_STUB", _bool_knob),
+        ("JCF_BENCH_ATTN_BATCHPAIRS", "_ATTN_BATCHPAIRS", _bool_knob),
+        ("JCF_BENCH_DENSE", "_DENSE_ROWS", _bool_knob),
         ("JCF_BENCH_FUSE", "_FUSE", str),
-        ("JCF_BENCH_GROUP_STREAM", "_GROUP_STREAM", int),
-        ("JCF_BENCH_PARGRID", "_PAR_GRID", lambda v: v == "1"),
-        ("JCF_BENCH_INT8_ATTN", "_INT8_ATTN", lambda v: v == "1"),
-        ("JCF_BENCH_S_ALIGN", "_S_ALIGN", int),
+        ("JCF_BENCH_GROUP_STREAM", "_GROUP_STREAM", _pos_int_knob),
+        ("JCF_BENCH_PARGRID", "_PAR_GRID", _bool_knob),
+        ("JCF_BENCH_INT8_ATTN", "_INT8_ATTN", _bool_knob),
+        ("JCF_BENCH_S_ALIGN", "_S_ALIGN", _pos_int_knob),
+        ("JCF_BENCH_CLS_LAST", "_CLS_LAST", _bool_knob),
     ):
         if os.environ.get(env):
             setattr(bk, attr, cast(os.environ[env]))
@@ -351,12 +477,12 @@ def main() -> None:
     failed_assertion = None
     infra_error = None
 
-    def _phase(name, fn, persist_key):
+    def _phase(name, fn, persist_key, deadline=None):
         """Run a cert phase (before the timed loop) under the deadline,
         falling back to the persisted green record for identical kernels."""
         nonlocal failed_assertion, infra_error
         persisted = cert_state.get(persist_key)
-        if time.perf_counter() - t_start > cert_deadline:
+        if time.perf_counter() - t_start > (deadline or cert_deadline):
             if persisted and persisted.get("hash") == khash:
                 record.update(persisted["fields"])
                 record[f"{name}_source"] = "persisted"
@@ -401,6 +527,19 @@ def main() -> None:
             "smoke",
             lambda: {"kernel_smoke": _kernel_smoke(params, cfg)},
             f"smoke:{config_tag}",
+        )
+    # trained-weights cert (VERDICT r4 #4): ~500 real stage-1 LoRA steps,
+    # merge, re-cert on sharpened margins. Costs ~6-10 min live (train
+    # compile + 500 steps + second engine pair), so its default deadline
+    # is tight: a driver run normally attaches the persisted green record
+    # while a dedicated run (JCF_BENCH_TRAINED_DEADLINE raised) refreshes
+    # it live.
+    if run_cert and os.environ.get("JCF_BENCH_CERT_TRAINED", "1") == "1":
+        _phase(
+            "cert_trained",
+            lambda: _trained_certificate(cfg, n_views, static_act, quant),
+            f"cert_trained:{config_tag}",
+            deadline=float(os.environ.get("JCF_BENCH_TRAINED_DEADLINE", "300")),
         )
 
     start = time.perf_counter()

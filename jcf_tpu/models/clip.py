@@ -575,12 +575,15 @@ def encode_image_rows_dense(
 
     v = params["visual"]
     s = (cfg.image_resolution // cfg.vision_patch_size) ** 2 + 1
-    x = run_fused_tower(
+    # cls_only: only ln_post(CLS) @ proj is read below — the tower returns
+    # the CLS rows directly ([B, E]) and, on the dense int8 path, computes
+    # the FINAL layer on CLS rows only (exact; block_kernel._CLS_LAST)
+    cls_rows = run_fused_tower(
         rows.astype(dtype), v["blocks"], cfg.vision_heads, None,
         quant=quant, quant_folded=quant_folded,
-        interpret=jax.default_backend() != "tpu", flat_s=s,
+        interpret=jax.default_backend() != "tpu", flat_s=s, cls_only=True,
     )
-    cls = layer_norm(x[::s], v["ln_post"]["scale"], v["ln_post"]["bias"])
+    cls = layer_norm(cls_rows, v["ln_post"]["scale"], v["ln_post"]["bias"])
     return jnp.dot(
         cls, v["proj"].astype(dtype), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,

@@ -750,13 +750,30 @@ def _block_int8_kernel(
         q2, s2 = _quant_rows_static(h2, ln2_inv_ref[0, 0]), None
     else:
         q2, s2 = _quant_rows(h2)
-    hidden = _int8_gemm(q2, s2, wfc_i8_ref, wfc_sc_ref, bfc_ref)
-    hidden = _quick_gelu32(hidden)
-    if static_h:
-        h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
-    else:
-        h_q, h_sc = _quant_rows(hidden)
-    out = mid + _int8_gemm(h_q, h_sc, wproj_i8_ref, wproj_sc_ref, bproj_ref)
+    # _MLP_NSPLIT (r5): chunk the hidden dim like the MLP-half kernel does
+    # — the whole-block kernel's peak VMEM includes the [rows, hidden] f32
+    # hidden (9.8 MB at G=16), the r4 rejection's named cause; per-chunk
+    # h_sc is a finer quant group, exact w.r.t. the scheme
+    hidden_dim = wfc_i8_ref.shape[0]
+    nsp = _MLP_NSPLIT if hidden_dim % _MLP_NSPLIT == 0 else 1
+    hs = hidden_dim // nsp
+    acc = None
+    for k in range(nsp):
+        sl = slice(k * hs, (k + 1) * hs)
+        hidden = _int8_gemm(q2, s2, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl])
+        hidden = _quick_gelu32(hidden)
+        if static_h:
+            h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
+        else:
+            h_q, h_sc = _quant_rows(hidden)
+        part = jax.lax.dot_general(
+            h_q, wproj_i8_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * wproj_sc_ref[...].astype(jnp.float32)
+        if h_sc is not None:
+            part = part * h_sc
+        acc = part if acc is None else acc + part
+    out = mid + (acc + bproj_ref[...].astype(jnp.float32))
     out = out.astype(out_ref.dtype)
     out_ref[...] = out if dense else out.reshape(group, s_pad, e)
 
@@ -1006,16 +1023,23 @@ _S_ALIGN = 16
 # — the VMEM repack is cheaper than the structural pad everywhere else.
 # JCF_BENCH_DENSE=0 flips it off for A/Bs.
 _DENSE_ROWS = True
+# CLS-only last layer (r5): serving reads only ln_post(x[:, 0]) @ proj, so
+# the final layer computes on CLS rows alone (full K/V, 1 query row/crop,
+# MLP on B rows instead of B*S) — exact; see _last_layer_cls_dense.
+# JCF_BENCH_CLS_LAST overrides.
+_CLS_LAST = True
 
 
 def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
                   s_real=None, use_mask=True, quant_folded=False,
-                  dense=False, s_pad=None):
+                  dense=False, s_pad=None, mlp_half=True):
     """Two-kernel variant (attention half, MLP half) of fused_block.
 
     ``dense``: x is a FLAT [B*S_real, E] row stream (no per-crop pad rows
     in HBM or the GEMMs); ``s_pad`` then carries the in-kernel attention
-    pad target. int8 path only."""
+    pad target. int8 path only.
+    ``mlp_half=False``: run only the attention half and return its output
+    (the CLS-only last layer runs its MLP half on gathered CLS rows)."""
     if dense:
         b_rows, e = x.shape
         b = b_rows // s_real
@@ -1095,6 +1119,8 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
             quant_layer["attn"]["w_out"].bias,
             bias,
         )
+        if not mlp_half:
+            return x
         tile, common = tile_common(group_m)
         return pl.pallas_call(
             functools.partial(_mlp_half_int8_kernel, group=group_m, s_pad=s_pad,
@@ -1138,6 +1164,8 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
         params["attn"]["w_out"].astype(x.dtype), params["attn"]["b_out"].astype(jnp.float32),
         bias,
     )
+    if not mlp_half:
+        return x
     tile, common = tile_common(group_m)
     return pl.pallas_call(
         functools.partial(
@@ -1403,6 +1431,45 @@ def fused_block(
     )
 
 
+def _mlp_half_cls_rows(mid, layer_params, quant_layer, *, quant_folded):
+    """Final-layer MLP half on CLS rows only (r5, JCF_BENCH_CLS_LAST).
+
+    Serving reads ONLY ``ln_post(x[:, 0]) @ proj`` downstream
+    (/root/reference/jclip/model.py:119-124), so the LAST layer's MLP
+    half is dead work for the other S-1 rows — ~1/L of the tower's MLP
+    cost. The attention half still runs through the fused kernel on all
+    rows (CLS attends to every token, and an XLA re-implementation of it
+    materializes the h_ln/qkv intermediates the kernels keep in VMEM —
+    measured -10.5% full-bench); only the MLP half moves here, on the
+    gathered [B, E] CLS rows where every intermediate is tiny.
+
+    Op-for-op the fused MLP-half math: LN -> (static|per-row) int8 quant
+    -> s8xs8->s32 c_fc -> QuickGELU -> h quant -> c_proj -> residual.
+    Per-row quantization is row-independent, so dropping rows changes
+    nothing for the rows kept.
+    """
+    mlp = quant_layer["mlp"]
+    static_act = "ln_inv" in mlp
+    static_h = "h_inv" in mlp
+    h2 = (
+        _ln_norm(mid) if quant_folded
+        else _ln_rows(mid, layer_params["ln_2"]["scale"], layer_params["ln_2"]["bias"])
+    )
+    if static_act:
+        q2, s2 = _quant_rows_static(h2, mlp["ln_inv"][0, 0]), None
+    else:
+        q2, s2 = _quant_rows(h2)
+    fc = mlp["c_fc"]
+    hidden = _quick_gelu32(_int8_gemm(q2, s2, fc.w_int8, fc.w_scale, fc.bias))
+    if static_h:
+        h_q, h_sc = _quant_rows_static(hidden, mlp["h_inv"][0, 0]), None
+    else:
+        h_q, h_sc = _quant_rows(hidden)
+    pr = mlp["c_proj"]
+    out = mid.astype(jnp.float32) + _int8_gemm(h_q, h_sc, pr.w_int8, pr.w_scale, pr.bias)
+    return out.astype(mid.dtype)
+
+
 def dense_rows_eligible(s: int, n_heads: int, has_quant: bool = True) -> bool:
     """True iff run_fused_tower would take the dense flat-row path for a
     mask-free tower of sequence length ``s`` — the gate callers (engine
@@ -1413,7 +1480,7 @@ def dense_rows_eligible(s: int, n_heads: int, has_quant: bool = True) -> bool:
     )
     return (
         _DENSE_ROWS and s_pad != s and not use_mask and has_quant
-        and _FUSE in ("halves", "stream", "block") and not _ATTN_BATCHPAIRS
+        and _FUSE in ("halves", "stream", "block")
     )
 
 
@@ -1427,6 +1494,7 @@ def run_fused_tower(
     quant_folded: bool = False,  # quant built with fold=True (LN/scale folded)
     interpret: bool = False,
     flat_s: Optional[int] = None,  # rows-per-crop when x is pre-flattened
+    cls_only: bool = False,  # only CLS rows are read downstream
 ) -> jax.Array:
     """Scan all layers through the fused block kernels.
 
@@ -1436,6 +1504,12 @@ def run_fused_tower(
     mask pad keys themselves (zeroed K/V rows + sum selector) and the bias
     operand is unused. Pad rows carry garbage that never reaches real
     rows either way.
+
+    ``cls_only=True`` declares that the caller reads only each crop's CLS
+    row: on the dense int8 path with ``_CLS_LAST`` the final layer then
+    runs CLS-only (exact — _last_layer_cls_dense) and the return value is
+    ``[B, E]``; on every other path the full tower runs and the CLS rows
+    are sliced out, so the return shape is ``[B, E]`` either way.
     """
     if flat_s is not None:
         s, e = flat_s, x.shape[-1]
@@ -1451,10 +1525,13 @@ def run_fused_tower(
     )
     # dense row stream (no pad rows in HBM/GEMMs; attention repacks in
     # VMEM) — serving vision tower only: int8 halves, mask-free epilogue
+    # (_ATTN_BATCHPAIRS composes with dense since r5: at the shipped
+    # _S_ALIGN=16 the in-VMEM attention views are already 64-padded, so
+    # the batched-pairs key pad is a no-op; s_pad > 64 configs fall back
+    # to the per-pair epilogue inside _batched_attention)
     dense = (
         _DENSE_ROWS and s_pad != s and not use_mask
         and quant is not None and _FUSE in ("halves", "stream", "block")
-        and not _ATTN_BATCHPAIRS
     )
     if flat_s is not None and not dense:
         # pre-flattened caller but a non-dense kernel config: un-flatten
@@ -1475,7 +1552,10 @@ def run_fused_tower(
         x = _stream_tower(x, stacked_blocks, quant, n_heads, bias,
                           s_real=s, s_pad=s_pad, interpret=interpret,
                           quant_folded=quant_folded)
+        if cls_only:
+            return x[::s]
         return x if flat_s is not None else x.reshape(b, s, e)
+    cls_route = cls_only and dense and quant is not None and _CLS_LAST
     if quant is not None:
         def body(carry, scanned):
             layer_params, quant_layer = scanned
@@ -1484,12 +1564,36 @@ def run_fused_tower(
                 quant_layer=quant_layer, **kw,
             ), None
 
+        if cls_route:
+            # scan L-1 layers; the last layer runs its attention half
+            # through the fused kernel on all rows (CLS attends to every
+            # token) and its MLP half on the gathered CLS rows only
+            tm = jax.tree_util.tree_map
+            x, _ = jax.lax.scan(
+                body, x,
+                (tm(lambda a: a[:-1], stacked_blocks), tm(lambda a: a[:-1], quant)),
+            )
+            last_b = tm(lambda a: a[-1], stacked_blocks)
+            last_q = tm(lambda a: a[-1], quant)
+            x = _halves_block(
+                x, last_b, n_heads, bias, last_q, interpret,
+                s_real=s, use_mask=use_mask, quant_folded=quant_folded,
+                dense=dense, s_pad=s_pad, mlp_half=False,
+            )
+            mid = x.reshape(-1, s, e)[:, 0]  # CLS rows [B, E]
+            return _mlp_half_cls_rows(
+                mid, last_b, last_q, quant_folded=quant_folded
+            )
         x, _ = jax.lax.scan(body, x, (stacked_blocks, quant))
     else:
         def body(carry, layer_params):
             return fused_block(carry, layer_params, n_heads, bias, **kw), None
 
         x, _ = jax.lax.scan(body, x, stacked_blocks)
+    if cls_only:
+        if dense:
+            return x[::s]
+        return x[:, 0]
     if dense:
         return x if flat_s is not None else x.reshape(b, s, e)
     if flat_s is not None:

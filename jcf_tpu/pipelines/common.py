@@ -108,16 +108,27 @@ def build_text_weights(
     (``/root/reference/slow_pace.py:1498``) applied to serving: the built
     weights persist under ``runtime.classifier_cache`` keyed by the text
     tower's actual bytes + templates + config (VERDICT r3 #7)."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     cache_dir = cfg.runtime.classifier_cache
     path = None
     if cache_dir:
         key = _classifier_cache_key(params, mcfg, templates, cfg)
         path = os.path.join(cache_dir, f"text_classifier_{key}.npy")
         if os.path.exists(path):
-            logger.info("text classifier cache hit: %s", path)
-            return jnp.asarray(np.load(path))
+            w = jnp.asarray(np.load(path))
+            logger.info(
+                "text classifier cache HIT: %s (%.2fs)",
+                path, _time.perf_counter() - t0,
+            )
+            return w
     w = build_classifier_weights(
         params, mcfg, templates, dtype=compute_dtype(cfg), impl=cfg.runtime.attention_impl
+    )
+    logger.info(
+        "text classifier built in %.1fs (cache %s)",
+        _time.perf_counter() - t0, "miss" if cache_dir else "disabled",
     )
     if path is not None:
         os.makedirs(cache_dir, exist_ok=True)

@@ -61,6 +61,11 @@ def main() -> None:
             pickle.dump(state_dict_from_params(init_clip_params(0, VIT_B_32), VIT_B_32), f)
 
     cfg = perf_preset()
+    cache_dir = os.path.join(root, "jcf_cache")
+    if os.environ.get("JCF_E2E_COLD") == "1":
+        import shutil
+
+        shutil.rmtree(cache_dir, ignore_errors=True)
     cfg = dataclasses.replace(
         cfg,
         data=dataclasses.replace(
@@ -71,7 +76,9 @@ def main() -> None:
             template_dir=os.path.join(root, "text_template"),
             captions_file=os.path.join(root, "missing.txt"),
         ),
-        runtime=dataclasses.replace(cfg.runtime, clip_checkpoint=ckpt),
+        runtime=dataclasses.replace(
+            cfg.runtime, clip_checkpoint=ckpt, classifier_cache=cache_dir
+        ),
     )
     # synthetic class list (403 classes, reference format)
     if not os.path.exists(cfg.data.classes_file):

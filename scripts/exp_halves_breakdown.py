@@ -18,12 +18,15 @@ import jax.numpy as jnp
 
 def main():
     import jcf_tpu.ops.block_kernel as bk
+    # defaults come FROM the module so the script measures the shipping
+    # config unless explicitly overridden (ADVICE r4: a hardcoded '8'
+    # silently overrode the adopted _S_ALIGN=16 default)
     bk._ATTN_STUB = os.environ.get("JCF_STUB", "0") == "1"
-    bk._FUSE = os.environ.get("JCF_FUSE", "halves")
-    bk._SUBTILES = int(os.environ.get("JCF_SUBTILES", "1"))
+    bk._FUSE = os.environ.get("JCF_FUSE", bk._FUSE)
+    bk._SUBTILES = int(os.environ.get("JCF_SUBTILES", str(bk._SUBTILES)))
     bk._PAIR_HEADS = os.environ.get("JCF_PAIR", "1") == "1"
-    bk._S_ALIGN = int(os.environ.get("JCF_SALIGN", "8"))
-    bk._GROUP_TARGET = int(os.environ.get("JCF_GROUP", "8"))
+    bk._S_ALIGN = int(os.environ.get("JCF_SALIGN", str(bk._S_ALIGN)))
+    bk._GROUP_TARGET = int(os.environ.get("JCF_GROUP", str(bk._GROUP_TARGET)))
 
     from jcf_tpu.models import VIT_B_32, init_clip_params
     from jcf_tpu.ops.quant import quantize_clip_params

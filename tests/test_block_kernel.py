@@ -389,6 +389,115 @@ def test_fused_tower_dense_rows_matches_padded(monkeypatch):
     np.testing.assert_allclose(out, base, atol=1e-5, rtol=1e-5)
 
 
+def test_fused_tower_dense_batched_pairs(monkeypatch):
+    """_ATTN_BATCHPAIRS composes with the DENSE row stream (r5): the
+    batched-pairs stage runs on the in-kernel repacked [G, s_pad, .]
+    views, whose zero pad rows the selectors exclude exactly like the
+    per-pair epilogue's row masks — rankings-level agreement with the
+    dense per-pair default. S=17 -> s_pad=32 <= 64 keeps the stage
+    eligible while the key pad (32->64) is load-bearing."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(29, CFG)
+    q = quantize_clip_params(params, fold=True, heads={"visual": 1, "text": 2})
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                      quant=q["text"], quant_folded=True,
+                                      interpret=True))
+    monkeypatch.setattr(bk, "_ATTN_BATCHPAIRS", True)
+    assert bk.dense_rows_eligible(17, 2)
+    out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                     quant=q["text"], quant_folded=True,
+                                     interpret=True))
+    flat = np.asarray(run_fused_tower(
+        x.reshape(4 * 17, 128), params["text"]["blocks"], 2, None,
+        quant=q["text"], quant_folded=True, interpret=True, flat_s=17,
+    ))
+    cos = ((base * out).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.999, cos
+    np.testing.assert_array_equal(flat, out.reshape(4 * 17, 128))
+
+
+def test_fused_tower_cls_only_last_layer(monkeypatch):
+    """_CLS_LAST: the dense int8 tower with cls_only=True computes the
+    final layer on CLS rows only (full K/V, 1 query row/crop, MLP on B
+    rows) — same math as running the full last layer and slicing CLS,
+    op for op; only MXU accumulation order differs, so agreement is
+    near-exact (and rankings-exact after the downstream ln_post/proj).
+    Covers folded+static-full and plain dynamic quant trees."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(31, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    for fold in (True, False):
+        q = quantize_clip_params(
+            params, fold=fold, heads={"visual": 1, "text": 2}
+        ) if fold else quantize_clip_params(params)
+        monkeypatch.setattr(bk, "_CLS_LAST", False)
+        full = np.asarray(run_fused_tower(
+            x, params["text"]["blocks"], 2, None, quant=q["text"],
+            quant_folded=fold, interpret=True, cls_only=True))
+        assert full.shape == (4, 128)
+        monkeypatch.setattr(bk, "_CLS_LAST", True)
+        cls = np.asarray(run_fused_tower(
+            x, params["text"]["blocks"], 2, None, quant=q["text"],
+            quant_folded=fold, interpret=True, cls_only=True))
+        flat = np.asarray(run_fused_tower(
+            x.reshape(4 * 17, 128), params["text"]["blocks"], 2, None,
+            quant=q["text"], quant_folded=fold, interpret=True,
+            flat_s=17, cls_only=True))
+        assert cls.shape == (4, 128)
+        np.testing.assert_array_equal(flat, cls)
+        np.testing.assert_allclose(cls, full, atol=5e-2, rtol=5e-2)
+        cos = ((full * cls).sum(-1) / (
+            np.linalg.norm(full, axis=-1) * np.linalg.norm(cls, axis=-1) + 1e-9
+        )).min()
+        assert cos > 0.999, cos
+
+
+def test_fused_tower_cls_only_static_full(monkeypatch):
+    """CLS-only last layer under the SERVING quant config (folded +
+    calibrated static ln/ctx/hidden scales): same agreement bar."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.models.clip import vision_ln_z_amax
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=120,
+        text_width=128, text_heads=2, text_layers=2,
+    )
+    rng = np.random.default_rng(43)
+    params = init_clip_params(19, cfg)
+    amax = np.asarray(vision_ln_z_amax(
+        params, cfg, jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32)),
+    ))
+    q = quantize_clip_params(
+        params, fold=True, heads={"visual": 2, "text": 2},
+        act_scales={"visual": amax}, act_static=("ctx", "hidden"),
+    )
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    monkeypatch.setattr(bk, "_CLS_LAST", False)
+    full = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None, quant=q["visual"],
+        quant_folded=True, interpret=True, cls_only=True))
+    monkeypatch.setattr(bk, "_CLS_LAST", True)
+    cls = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None, quant=q["visual"],
+        quant_folded=True, interpret=True, cls_only=True))
+    cos = ((full * cls).sum(-1) / (
+        np.linalg.norm(full, axis=-1) * np.linalg.norm(cls, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.999, cos
+
+
 def test_fused_tower_dense_block_matches_halves(monkeypatch):
     """_FUSE="block" on the DENSE row stream (r4): the whole-block kernel
     repacks/unpacks around attention exactly like the attn half, so the
@@ -419,6 +528,39 @@ def test_fused_tower_dense_block_matches_halves(monkeypatch):
         monkeypatch.setattr(bk, "_FUSE", "halves")
         np.testing.assert_array_equal(out, base)
         np.testing.assert_array_equal(flat, base.reshape(4 * 17, 128))
+
+
+def test_fused_tower_block_nsplit(monkeypatch):
+    """_FUSE="block" + _MLP_NSPLIT (r5): the whole-block kernel chunks
+    the MLP hidden dim like the MLP-half kernel — per-chunk h scales are
+    a finer quantization group, so dynamic-quant agreement is at the
+    rankings level while static-h (serving) chunking is EXACT (the same
+    static scale applies to every chunk)."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(23, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    q = quantize_clip_params(params, fold=True, heads={"visual": 1, "text": 2})
+    monkeypatch.setattr(bk, "_FUSE", "block")
+    base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                      quant=q["text"], quant_folded=True,
+                                      interpret=True))
+    monkeypatch.setattr(bk, "_MLP_NSPLIT", 2)
+    out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                     quant=q["text"], quant_folded=True,
+                                     interpret=True))
+    cos = ((base * out).sum(-1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    )).min()
+    assert cos > 0.999, cos
+    # hidden_dim 512 % 3 != 0 -> nsplit falls back to 1, bitwise base
+    monkeypatch.setattr(bk, "_MLP_NSPLIT", 3)
+    fb = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                    quant=q["text"], quant_folded=True,
+                                    interpret=True))
+    np.testing.assert_array_equal(fb, base)
 
 
 def test_fused_tower_stream_matches_halves(monkeypatch):
