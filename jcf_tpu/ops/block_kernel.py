@@ -1028,6 +1028,12 @@ _DENSE_ROWS = True
 # MLP on B rows instead of B*S) — exact; see _last_layer_cls_dense.
 # JCF_BENCH_CLS_LAST overrides.
 _CLS_LAST = True
+# CLS-query final ATTENTION half (r5): with _CLS_LAST on, also drop the
+# query side of the last attention half to the CLS rows — K/V for all
+# rows, scores/softmax/context/out-proj for 1 row/crop, and the qkv GEMM
+# loses its Q third on non-CLS rows (_attn_cls_int8_kernel).
+# JCF_BENCH_CLS_ATTNQ overrides.
+_CLS_ATTNQ = True
 
 
 def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
@@ -1431,6 +1437,168 @@ def fused_block(
     )
 
 
+def _attn_cls_int8_kernel(
+    x_ref, ln_s_ref, ln_b_ref, ln_inv_ref, ctx_inv_ref, shift_ref,
+    wkv_i8_ref, wkv_sc_ref, bkv_ref,
+    wq_i8_ref, wq_sc_ref, bq_ref,
+    wout_i8_ref, wout_sc_ref, bout_ref, out_ref,
+    *, n_heads, head_dim, scale, group, s_real,
+    folded=False, static_act=False, static_ctx=False, static_shift=False,
+):
+    """Final-layer attention half, CLS QUERIES only (dense int8 path).
+
+    With _CLS_LAST, only each crop's CLS row is read downstream — but the
+    plain attn-half kernel still computes S x S scores, softmax, context
+    and out-proj for every row. This kernel computes K/V for all rows
+    (the CLS token attends to every token) and everything query-side for
+    the one CLS row per crop: scores [P*G, 1, 128] instead of
+    [P*G, S, 128], context/out-proj on [G, E] rows, and the qkv GEMM
+    drops its Q third for the S-1 non-CLS rows. Same zero-masked K/V
+    head-pairing + joint-max + half-normalizer epilogue as
+    _batched_pairs_attention_nomask; per-row quant and LN are
+    row-independent, so the CLS outputs match the full kernel at the
+    same quant scheme (rankings-exact; cert-gated like everything else).
+    Output tile: [G, E] — one row per crop.
+    """
+    e = n_heads * head_dim
+    d2 = 2 * head_dim
+    n_pairs = n_heads // 2
+    np_half = 64  # keys per half, zero-padded (s_real <= 64, caller-gated)
+    rows = x_ref[...]  # [G*s_real, E] dense
+    h_ln = (
+        _ln_norm(rows) if folded
+        else _ln_rows(rows, ln_s_ref[...], ln_b_ref[...])
+    )
+    if static_act:
+        x_q, x_sc = _quant_rows_static(h_ln, ln_inv_ref[0, 0]), None
+    else:
+        x_q, x_sc = _quant_rows(h_ln)
+    kv = _int8_gemm(x_q, x_sc, wkv_i8_ref, wkv_sc_ref, bkv_ref).astype(
+        jnp.bfloat16
+    )  # [G*S, 2E]
+    cls_q = x_q.reshape(group, s_real, e)[:, 0]  # [G, E] int8
+    cls_sc = None if x_sc is None else x_sc.reshape(group, s_real, 1)[:, 0]
+    q = _int8_gemm(cls_q, cls_sc, wq_i8_ref, wq_sc_ref, bq_ref).astype(
+        jnp.bfloat16
+    )  # [G, E]
+
+    kv3 = kv.reshape(group, s_real, 2 * e)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d2), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * np_half, 1), 1)
+    lo_sel = (lane < head_dim) & (row < s_real)
+    hi_sel = (lane >= head_dim) & (row >= np_half) & (row < np_half + s_real)
+
+    def build(slices):  # [G, S, 2D] -> zero-masked double-block [G, 128, 2D]
+        pad_lo = jnp.pad(slices, ((0, 0), (0, np_half - s_real), (0, 0)))
+        blk = jnp.concatenate([pad_lo, pad_lo], axis=1)
+        return jnp.where(lo_sel | hi_sel, blk, jnp.zeros_like(blk))
+
+    k6 = jnp.stack(
+        [build(kv3[:, :, p * d2 : (p + 1) * d2]) for p in range(n_pairs)]
+    ).reshape(n_pairs * group, 2 * np_half, d2)
+    v6 = jnp.stack(
+        [build(kv3[:, :, e + p * d2 : e + (p + 1) * d2]) for p in range(n_pairs)]
+    ).reshape(n_pairs * group, 2 * np_half, d2)
+    q6 = jnp.stack(
+        [q[:, p * d2 : (p + 1) * d2] for p in range(n_pairs)]
+    ).reshape(n_pairs * group, 1, d2)
+
+    scores = jax.lax.dot_general(
+        q6, k6, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [P*G, 1, 128]
+    if scale is not None:
+        scores = scores * scale
+    if static_shift:
+        m = shift_ref[0, 0]
+    else:
+        # joint max over real + zero-pad columns: max(real, 0) is still a
+        # valid softmax stabilizer (pad lanes score exactly 0)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+    p_ = jnp.exp(scores - m)
+    pc = p_.astype(v6.dtype)
+    ctx_u = jax.lax.dot_general(
+        pc, v6, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [P*G, 1, 2D]
+    # per-half normalizers: pad lanes are EXCLUDED (their v rows are zero
+    # in PV and their p mass never enters a half's sum)
+    lo_sum = jnp.sum(p_[:, :, :s_real], axis=-1, keepdims=True)
+    hi_sum = jnp.sum(p_[:, :, np_half : np_half + s_real], axis=-1, keepdims=True)
+    inv = jnp.where(
+        lane < head_dim,
+        1.0 / jnp.maximum(lo_sum, 1e-30),
+        1.0 / jnp.maximum(hi_sum, 1e-30),
+    )
+    ctx = (ctx_u * inv).reshape(n_pairs, group, d2)
+    ctx = jnp.concatenate([ctx[i] for i in range(n_pairs)], axis=-1)  # [G, E]
+    if static_ctx:
+        c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
+    else:
+        c_q, c_sc = _quant_rows(ctx)
+    proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
+    cls_rows = rows.reshape(group, s_real, e)[:, 0]
+    out_ref[...] = (cls_rows.astype(jnp.float32) + proj).astype(out_ref.dtype)
+
+
+def _attn_cls_dense(x, params, n_heads, quant_layer, interpret, *,
+                    s_real, quant_folded):
+    """pallas_call wrapper for _attn_cls_int8_kernel: dense [B*S, E] rows
+    in, [B, E] CLS attention outputs out (the _CLS_LAST final layer)."""
+    b_rows, e = x.shape
+    b = b_rows // s_real
+    d = e // n_heads
+    group = _pick_group(b, _GROUP_ATTN or _GROUP_TARGET)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return vmem(shape, lambda i: tuple(0 for _ in shape))
+
+    static_act = "ln_inv" in quant_layer["attn"]
+    static_ctx = "ctx_inv" in quant_layer["attn"]
+    static_shift = "score_shift" in quant_layer["attn"]
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    attn_q = quant_layer["attn"]
+    wqkv = attn_q["w_qkv"]
+    # slice Q / KV thirds of the packed qkv projection at trace time (the
+    # per-output-channel scales/biases slice with their rows, so static
+    # folding is preserved)
+    cp = dict(vmem_limit_bytes=_VMEM_LIMIT)
+    if _PAR_GRID:
+        cp["dimension_semantics"] = ("parallel",)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_cls_int8_kernel, n_heads=n_heads, head_dim=d,
+            scale=None if quant_folded else 1.0 / math.sqrt(d),
+            group=group, s_real=s_real, folded=quant_folded,
+            static_act=static_act, static_ctx=static_ctx,
+            static_shift=static_shift,
+        ),
+        in_specs=[
+            vmem((group * s_real, e), lambda i: (i, 0)),
+            full((e,)), full((e,)), full((1, 1)), full((1, 1)), full((1, 1)),
+            full((2 * e, e)), full((2 * e,)), full((2 * e,)),
+            full((e, e)), full((e,)), full((e,)),
+            full((e, e)), full((e,)), full((e,)),
+        ],
+        grid=(b // group,),
+        out_specs=vmem((group, e), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, e), x.dtype),
+        compiler_params=pltpu.CompilerParams(**cp),
+        interpret=interpret,
+    )(
+        x,
+        params["ln_1"]["scale"].astype(x.dtype),
+        params["ln_1"]["bias"].astype(x.dtype),
+        attn_q.get("ln_inv", ones11), attn_q.get("ctx_inv", ones11),
+        attn_q.get("score_shift", ones11),
+        wqkv.w_int8[e:], wqkv.w_scale[e:], wqkv.bias[e:],
+        wqkv.w_int8[:e], wqkv.w_scale[:e], wqkv.bias[:e],
+        attn_q["w_out"].w_int8, attn_q["w_out"].w_scale,
+        attn_q["w_out"].bias,
+    )
+
+
 def _mlp_half_cls_rows(mid, layer_params, quant_layer, *, quant_folded):
     """Final-layer MLP half on CLS rows only (r5, JCF_BENCH_CLS_LAST).
 
@@ -1575,12 +1743,19 @@ def run_fused_tower(
             )
             last_b = tm(lambda a: a[-1], stacked_blocks)
             last_q = tm(lambda a: a[-1], quant)
-            x = _halves_block(
-                x, last_b, n_heads, bias, last_q, interpret,
-                s_real=s, use_mask=use_mask, quant_folded=quant_folded,
-                dense=dense, s_pad=s_pad, mlp_half=False,
-            )
-            mid = x.reshape(-1, s, e)[:, 0]  # CLS rows [B, E]
+            if (_CLS_ATTNQ and _PAIR_HEADS and n_heads % 2 == 0
+                    and s <= 64 and not _INT8_ATTN):
+                mid = _attn_cls_dense(
+                    x, last_b, n_heads, last_q, interpret,
+                    s_real=s, quant_folded=quant_folded,
+                )
+            else:
+                x = _halves_block(
+                    x, last_b, n_heads, bias, last_q, interpret,
+                    s_real=s, use_mask=use_mask, quant_folded=quant_folded,
+                    dense=dense, s_pad=s_pad, mlp_half=False,
+                )
+                mid = x.reshape(-1, s, e)[:, 0]  # CLS rows [B, E]
             return _mlp_half_cls_rows(
                 mid, last_b, last_q, quant_folded=quant_folded
             )

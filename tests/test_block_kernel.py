@@ -428,7 +428,9 @@ def test_fused_tower_cls_only_last_layer(monkeypatch):
     rows) — same math as running the full last layer and slicing CLS,
     op for op; only MXU accumulation order differs, so agreement is
     near-exact (and rankings-exact after the downstream ln_post/proj).
-    Covers folded+static-full and plain dynamic quant trees."""
+    Covers folded+static-full and plain dynamic quant trees, and both
+    final-attention routes (_CLS_ATTNQ: CLS-query kernel vs full
+    attn-half + slice)."""
     import jcf_tpu.ops.block_kernel as bk
     from jcf_tpu.ops.quant import quantize_clip_params
 
@@ -445,20 +447,23 @@ def test_fused_tower_cls_only_last_layer(monkeypatch):
             quant_folded=fold, interpret=True, cls_only=True))
         assert full.shape == (4, 128)
         monkeypatch.setattr(bk, "_CLS_LAST", True)
-        cls = np.asarray(run_fused_tower(
-            x, params["text"]["blocks"], 2, None, quant=q["text"],
-            quant_folded=fold, interpret=True, cls_only=True))
-        flat = np.asarray(run_fused_tower(
-            x.reshape(4 * 17, 128), params["text"]["blocks"], 2, None,
-            quant=q["text"], quant_folded=fold, interpret=True,
-            flat_s=17, cls_only=True))
-        assert cls.shape == (4, 128)
-        np.testing.assert_array_equal(flat, cls)
-        np.testing.assert_allclose(cls, full, atol=5e-2, rtol=5e-2)
-        cos = ((full * cls).sum(-1) / (
-            np.linalg.norm(full, axis=-1) * np.linalg.norm(cls, axis=-1) + 1e-9
-        )).min()
-        assert cos > 0.999, cos
+        for attnq in (False, True):
+            monkeypatch.setattr(bk, "_CLS_ATTNQ", attnq)
+            cls = np.asarray(run_fused_tower(
+                x, params["text"]["blocks"], 2, None, quant=q["text"],
+                quant_folded=fold, interpret=True, cls_only=True))
+            flat = np.asarray(run_fused_tower(
+                x.reshape(4 * 17, 128), params["text"]["blocks"], 2, None,
+                quant=q["text"], quant_folded=fold, interpret=True,
+                flat_s=17, cls_only=True))
+            assert cls.shape == (4, 128)
+            np.testing.assert_array_equal(flat, cls)
+            np.testing.assert_allclose(cls, full, atol=5e-2, rtol=5e-2)
+            cos = ((full * cls).sum(-1) / (
+                np.linalg.norm(full, axis=-1)
+                * np.linalg.norm(cls, axis=-1) + 1e-9
+            )).min()
+            assert cos > 0.999, (attnq, fold, cos)
 
 
 def test_fused_tower_cls_only_static_full(monkeypatch):
