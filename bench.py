@@ -413,6 +413,8 @@ def main() -> None:
         ("JCF_BENCH_S_ALIGN", "_S_ALIGN", _pos_int_knob),
         ("JCF_BENCH_CLS_LAST", "_CLS_LAST", _bool_knob),
         ("JCF_BENCH_CLS_ATTNQ", "_CLS_ATTNQ", _bool_knob),
+        ("JCF_BENCH_GROUP_LAYER", "_GROUP_LAYER", _pos_int_knob),
+        ("JCF_BENCH_LAYER_NSPLIT", "_LAYER_NSPLIT", _pos_int_knob),
     ):
         if os.environ.get(env):
             setattr(bk, attr, cast(os.environ[env]))

@@ -95,6 +95,41 @@ def _quick_gelu32(h):
     return h * jax.nn.sigmoid(1.702 * h)
 
 
+def _gelu_quant_static(hidden_scaled, h_inv):
+    """GELU + STATIC int8 requant on a c_fc output whose h_inv requant
+    scale was PRE-FOLDED into the weight scales/bias at trace time
+    (hidden_scaled = h * h_inv, a [rows, hidden] tile).
+
+    The scale commutes through QuickGELU exactly: with y = k*h,
+    gelu(h)*k == y * sigmoid(1.702*y/k) == y * (0.5 + 0.5*tanh(0.851*y/k))
+    — same real function, so the requant collapses to round+clip and the
+    unfolded chain's [rows, hidden] requant multiply disappears (one full
+    VPU pass per layer over the widest tensor in the tower). Only fp
+    association inside the tanh/sigmoid argument differs.
+    """
+    c = ((0.851 if _GELU_TANH else 1.702) / h_inv).astype(hidden_scaled.dtype)
+    if _GELU_TANH:
+        g = hidden_scaled * (0.5 + 0.5 * jnp.tanh(c * hidden_scaled))
+    else:
+        g = hidden_scaled * jax.nn.sigmoid(c * hidden_scaled)
+    return _round_clip_int8(g)
+
+
+def _round_clip_int8(x):
+    """round + saturate to int8 — the quant tail for values already in
+    the quantized domain (static scale folded upstream)."""
+    return jnp.clip(_round_f32(x), -127, 127).astype(jnp.int8)
+
+
+def _fold_h_static(fc, factor):
+    """Trace-time h_inv fold for _gelu_quant_static: scale the c_fc
+    dequant scales and bias by the static hidden requant scale (scalar
+    per layer; [L, 1]-shaped for the stacked stream variant). [hidden]-
+    sized work per layer — free next to the [rows, hidden] pass it
+    deletes from the kernel."""
+    return fc.w_scale * factor, fc.bias * factor
+
+
 def _quant_rows_static(x, inv):
     """Static-scale symmetric int8 (inv = 127/amax_calibrated, scalar);
     the dequant scale amax/127 is pre-folded into the weight scales.
@@ -125,7 +160,7 @@ def _int8_gemm(x_q, x_scale, w_int8_ref, w_scale_ref, bias_ref,
 
 def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
                        precision=None, *, s_real=None, use_mask=True,
-                       score_shift=None):
+                       score_shift=None, post_scale=None):
     """qkv [G*S, 3E] -> context [G*S, E].
 
     Per head: one crop-batched dot_general pair ([G, S, D] x [G, S, D]) —
@@ -145,20 +180,25 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
     q3 = qkv.reshape(group, s_pad, 3 * e)  # row-major view, free
     if _PAIR_HEADS and n_heads % 2 == 0:
         if use_mask:
-            return _paired_attention(
+            out = _paired_attention(
                 q3, bias, n_heads, head_dim, scale, group, s_pad, precision
             )
+            # masked path (text tower): no normalizer to fold into —
+            # apply the static ctx quant scale as a plain post-multiply
+            # (identical cost to the unfolded chain)
+            return out if post_scale is None else out * post_scale
         if _ATTN_BATCHPAIRS and s_pad <= 64 and not _INT8_ATTN:
             return _batched_pairs_attention_nomask(
                 q3, n_heads, head_dim, scale, group, s_pad, precision,
                 s_real=s_real if s_real is not None else s_pad,
-                score_shift=score_shift,
+                score_shift=score_shift, post_scale=post_scale,
             )
         return _paired_attention_nomask(
             q3, n_heads, head_dim, scale, group, s_pad, precision,
             s_real=s_real if s_real is not None else s_pad,
             # _INT8_ATTN's p quantization assumes the row max is exactly 1
             score_shift=None if _INT8_ATTN else score_shift,
+            post_scale=post_scale,
         )
     ctx = []
     for h in range(n_heads):
@@ -181,12 +221,13 @@ def _batched_attention(qkv, bias, n_heads, head_dim, scale, group, s_pad,
                 preferred_element_type=jnp.float32, precision=precision,
             )
         )
-    return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
+    out = jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
+    return out if post_scale is None else out * post_scale
 
 
 def _batched_pairs_attention_nomask(q3, n_heads, head_dim, scale, group,
                                     s_pad, precision=None, *, s_real,
-                                    score_shift=None):
+                                    score_shift=None, post_scale=None):
     """All head-pairs in ONE dot_general per stage (r4).
 
     The per-pair loop issues 3 small dot_generals per pair — 18 per tile,
@@ -267,7 +308,10 @@ def _batched_pairs_attention_nomask(q3, n_heads, head_dim, scale, group,
         pc, sel.astype(v6.dtype), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
     )
-    ctx = (ctx_u * (1.0 / jnp.maximum(sums, 1e-30))).reshape(
+    # post_scale (static ctx quant): folds into the normalizer divide —
+    # the downstream quant's [rows, E] multiply disappears (exact)
+    num = jnp.float32(1.0) if post_scale is None else post_scale
+    ctx = (ctx_u * (num / jnp.maximum(sums, 1e-30))).reshape(
         n_pairs, group, s_pad, d2
     )
     return jnp.concatenate(
@@ -276,7 +320,8 @@ def _batched_pairs_attention_nomask(q3, n_heads, head_dim, scale, group,
 
 
 def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
-                             precision=None, *, s_real, score_shift=None):
+                             precision=None, *, s_real, score_shift=None,
+                             post_scale=None):
     """Paired-head attention, no-causal-mask epilogue (PERF.md r3).
 
     Same zero-masked K/V pairing as ``_paired_attention`` (two heads per
@@ -410,7 +455,9 @@ def _paired_attention_nomask(q3, n_heads, head_dim, scale, group, s_pad,
                 pc, selc, (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )  # [G, S, 2D] — normalizers already lane-broadcast
-        ctx.append(ctx_u * (1.0 / jnp.maximum(sums, 1e-30)))
+        # post_scale folds the static ctx quant scale into the normalizer
+        num = jnp.float32(1.0) if post_scale is None else post_scale
+        ctx.append(ctx_u * (num / jnp.maximum(sums, 1e-30)))
     return jnp.concatenate(ctx, axis=-1).reshape(group * s_pad, e)
 
 
@@ -571,6 +618,7 @@ def _attn_half_int8_kernel(
             qkv_att, bias, n_heads, head_dim, None if folded else scale,
             g_sub, s_pad, s_real=s_real, use_mask=use_mask,
             score_shift=shift_ref[0, 0] if static_shift else None,
+            post_scale=ctx_inv_ref[0, 0] if static_ctx else None,
         )
         if dense:
             ctx = jnp.concatenate(
@@ -581,7 +629,8 @@ def _attn_half_int8_kernel(
                 axis=0,
             )
         if static_ctx:
-            c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
+            # ctx_inv folded into the attention normalizer (post_scale)
+            c_q, c_sc = _round_clip_int8(ctx), None
         else:
             c_q, c_sc = _quant_rows(ctx)
         proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
@@ -632,11 +681,12 @@ def _mlp_half_int8_kernel(
                 x_q, x_sc, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl],
                 out_dtype=h_dt,
             )
-            hidden = _quick_gelu32(hidden)
             if static_h:
-                h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
+                # h_inv pre-folded into wfc_sc/bfc by the caller: the GEMM
+                # lands in the quantized domain and GELU commutes exactly
+                h_q, h_sc = _gelu_quant_static(hidden, h_inv_ref[0, 0]), None
             else:
-                h_q, h_sc = _quant_rows(hidden)
+                h_q, h_sc = _quant_rows(_quick_gelu32(hidden))
             part = jax.lax.dot_general(
                 h_q, wproj_i8_ref[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -728,6 +778,7 @@ def _block_int8_kernel(
         qkv, bias_ref[...], n_heads, head_dim, None if folded else scale,
         group, s_pad, s_real=s_real, use_mask=use_mask,
         score_shift=shift_ref[0, 0] if static_shift else None,
+        post_scale=ctx_inv_ref[0, 0] if static_ctx else None,
     )
     if dense:
         ctx = jnp.concatenate(
@@ -735,7 +786,8 @@ def _block_int8_kernel(
             axis=0,
         )
     if static_ctx:
-        c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
+        # ctx_inv folded into the attention normalizer (post_scale)
+        c_q, c_sc = _round_clip_int8(ctx), None
     else:
         c_q, c_sc = _quant_rows(ctx)
     mid = rows.astype(jnp.float32) + _int8_gemm(
@@ -761,11 +813,11 @@ def _block_int8_kernel(
     for k in range(nsp):
         sl = slice(k * hs, (k + 1) * hs)
         hidden = _int8_gemm(q2, s2, wfc_i8_ref[sl], wfc_sc_ref[sl], bfc_ref[sl])
-        hidden = _quick_gelu32(hidden)
         if static_h:
-            h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0]), None
+            # h_inv pre-folded into wfc_sc/bfc (see _gelu_quant_static)
+            h_q, h_sc = _gelu_quant_static(hidden, h_inv_ref[0, 0]), None
         else:
-            h_q, h_sc = _quant_rows(hidden)
+            h_q, h_sc = _quant_rows(_quick_gelu32(hidden))
         part = jax.lax.dot_general(
             h_q, wproj_i8_ref[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -839,6 +891,7 @@ def _stream_tower_int8_kernel(
             None if folded else scale, group, s_pad, s_real=s_real,
             use_mask=False,
             score_shift=shift_ref[0, 0, 0] if static_shift else None,
+            post_scale=ctx_inv_ref[0, 0, 0] if static_ctx else None,
         )
         if dense:
             ctx = jnp.concatenate(
@@ -849,7 +902,8 @@ def _stream_tower_int8_kernel(
                 axis=0,
             )
         if static_ctx:
-            c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0, 0]), None
+            # ctx_inv folded into the attention normalizer (post_scale)
+            c_q, c_sc = _round_clip_int8(ctx), None
         else:
             c_q, c_sc = _quant_rows(ctx)
         proj = _int8_gemm(c_q, c_sc, wout_i8_ref[0], wout_sc_ref[0, 0], bout_ref[0, 0])
@@ -875,11 +929,11 @@ def _stream_tower_int8_kernel(
                 x_q, x_sc, wfc_i8_ref[0, sl], wfc_sc_ref[0, 0, sl],
                 bfc_ref[0, 0, sl],
             )
-            hidden = _quick_gelu32(hidden)
             if static_h:
-                h_q, h_sc = _quant_rows_static(hidden, h_inv_ref[0, 0, 0]), None
+                # h_inv pre-folded into wfc_sc/bfc (see _gelu_quant_static)
+                h_q, h_sc = _gelu_quant_static(hidden, h_inv_ref[0, 0, 0]), None
             else:
-                h_q, h_sc = _quant_rows(hidden)
+                h_q, h_sc = _quant_rows(_quick_gelu32(hidden))
             part = jax.lax.dot_general(
                 h_q, wproj_i8_ref[0, :, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -1028,6 +1082,10 @@ _DENSE_ROWS = True
 # MLP on B rows instead of B*S) — exact; see _last_layer_cls_dense.
 # JCF_BENCH_CLS_LAST overrides.
 _CLS_LAST = True
+# _FUSE="layer" (r5): one kernel per layer, MLP weight chunks streamed on
+# an inner grid dim (see _layer_fused_int8_kernel). Tile and chunk count:
+_GROUP_LAYER = 8
+_LAYER_NSPLIT = 4
 # CLS-query final ATTENTION half (r5): with _CLS_LAST on, also drop the
 # query side of the last attention half to the CLS rows — K/V for all
 # rows, scores/softmax/context/out-proj for 1 row/crop, and the qkv GEMM
@@ -1142,8 +1200,11 @@ def _halves_block(x, params, n_heads, bias, quant_layer, interpret,
             x,
             params["ln_2"]["scale"].astype(x.dtype), params["ln_2"]["bias"].astype(x.dtype),
             ln2_inv, h_inv,
-            quant_layer["mlp"]["c_fc"].w_int8, quant_layer["mlp"]["c_fc"].w_scale,
-            quant_layer["mlp"]["c_fc"].bias,
+            quant_layer["mlp"]["c_fc"].w_int8,
+            *(_fold_h_static(quant_layer["mlp"]["c_fc"], h_inv[0, 0])
+              if static_h else
+              (quant_layer["mlp"]["c_fc"].w_scale,
+               quant_layer["mlp"]["c_fc"].bias)),
             quant_layer["mlp"]["c_proj"].w_int8, quant_layer["mlp"]["c_proj"].w_scale,
             quant_layer["mlp"]["c_proj"].bias,
         )
@@ -1288,8 +1349,11 @@ def _stream_tower(x, stacked_blocks, quant, n_heads, bias, *, s_real,
         v3(stacked_blocks["ln_2"]["bias"].astype(x.dtype)),
         quant["mlp"].get("ln_inv", ones),
         quant["mlp"].get("h_inv", ones),
-        quant["mlp"]["c_fc"].w_int8, v3(quant["mlp"]["c_fc"].w_scale),
-        v3(quant["mlp"]["c_fc"].bias),
+        quant["mlp"]["c_fc"].w_int8,
+        *(tuple(map(v3, _fold_h_static(
+            quant["mlp"]["c_fc"], quant["mlp"]["h_inv"][:, 0])))
+          if static_h else
+          (v3(quant["mlp"]["c_fc"].w_scale), v3(quant["mlp"]["c_fc"].bias))),
         quant["mlp"]["c_proj"].w_int8, v3(quant["mlp"]["c_proj"].w_scale),
         v3(quant["mlp"]["c_proj"].bias),
         bias,
@@ -1396,8 +1460,12 @@ def fused_block(
             params["ln_2"]["scale"].astype(x.dtype), params["ln_2"]["bias"].astype(x.dtype),
             quant_layer["mlp"].get("ln_inv", ones11),
             quant_layer["mlp"].get("h_inv", ones11),
-            quant_layer["mlp"]["c_fc"].w_int8, quant_layer["mlp"]["c_fc"].w_scale,
-            quant_layer["mlp"]["c_fc"].bias,
+            quant_layer["mlp"]["c_fc"].w_int8,
+            *(_fold_h_static(quant_layer["mlp"]["c_fc"],
+                             quant_layer["mlp"]["h_inv"][0, 0])
+              if static_h else
+              (quant_layer["mlp"]["c_fc"].w_scale,
+               quant_layer["mlp"]["c_fc"].bias)),
             quant_layer["mlp"]["c_proj"].w_int8, quant_layer["mlp"]["c_proj"].w_scale,
             quant_layer["mlp"]["c_proj"].bias,
             bias,
@@ -1525,15 +1593,17 @@ def _attn_cls_int8_kernel(
     # in PV and their p mass never enters a half's sum)
     lo_sum = jnp.sum(p_[:, :, :s_real], axis=-1, keepdims=True)
     hi_sum = jnp.sum(p_[:, :, np_half : np_half + s_real], axis=-1, keepdims=True)
+    # static ctx quant scale folds into the normalizer (post_scale style)
+    num = ctx_inv_ref[0, 0] if static_ctx else jnp.float32(1.0)
     inv = jnp.where(
         lane < head_dim,
-        1.0 / jnp.maximum(lo_sum, 1e-30),
-        1.0 / jnp.maximum(hi_sum, 1e-30),
+        num / jnp.maximum(lo_sum, 1e-30),
+        num / jnp.maximum(hi_sum, 1e-30),
     )
     ctx = (ctx_u * inv).reshape(n_pairs, group, d2)
     ctx = jnp.concatenate([ctx[i] for i in range(n_pairs)], axis=-1)  # [G, E]
     if static_ctx:
-        c_q, c_sc = _quant_rows_static(ctx, ctx_inv_ref[0, 0]), None
+        c_q, c_sc = _round_clip_int8(ctx), None
     else:
         c_q, c_sc = _quant_rows(ctx)
     proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
@@ -1599,6 +1669,224 @@ def _attn_cls_dense(x, params, n_heads, quant_layer, interpret, *,
     )
 
 
+def _layer_fused_int8_kernel(
+    x_ref, ln1_s_ref, ln1_b_ref, ln1_inv_ref, ctx_inv_ref, shift_ref,
+    wqkv_i8_ref, wqkv_sc_ref, bqkv_ref,
+    wout_i8_ref, wout_sc_ref, bout_ref,
+    ln2_s_ref, ln2_b_ref, ln2_inv_ref, h_inv_ref,
+    wfc_i8_ref, wfc_sc_ref, bfc_ref,          # chunk j-1: [hs, E]/[hs]/[hs]
+    wproj_i8_ref, wproj_sc_ref, bproj_ref,    # chunk j-1: [E, hs]; [E]; [E]
+    out_ref,
+    mid_ref, xq_ref, xsc_ref, acc_ref,        # VMEM scratch (persist over j)
+    *, n_heads, head_dim, scale, group, s_pad, s_real, nsp,
+    folded, static_act, static_ctx, static_h, static_shift,
+):
+    """ONE kernel per transformer layer, MLP weights streamed on an inner
+    grid dim (r5, VERDICT r4 #1a).
+
+    The halves scan pays an HBM round-trip of the full [B*S, E] residual
+    between the attention and MLP kernels of every layer (~1.26 GB/layer
+    at b1024, ~13-18 ms/iter over 12 layers — scripts/exp_boundary_cost).
+    The r4 whole-block kernel removed the boundary but lost more to VMEM
+    pressure: ALL weights (7.1 MB int8) + the [rows, 3072] f32 hidden
+    resident at once degrade Mosaic's pipelining (PERF.md r4: 3937 vs
+    4298 halves).
+
+    This variant keeps the boundary in VMEM **without** the working-set
+    cliff by making the MLP hidden chunk a GRID dimension:
+
+      grid = (B/G, 1 + nsp)   [both "arbitrary": inner steps are a
+                               sequential reduction]
+      j = 0      attention half on the x tile -> mid (VMEM scratch,
+                 rounded through x.dtype exactly like the halves kernel
+                 boundary) + the MLP's LN2+quant, computed once
+      j = 1..nsp c_fc/c_proj CHUNK j-1 GEMM -> GELU -> requant -> partial
+                 out-proj, accumulated in f32 scratch; chunk weights ride
+                 j-indexed BlockSpecs so Mosaic double-buffers their HBM
+                 fetches against the previous chunk's compute — only
+                 2/nsp of the MLP weights are ever resident
+      j = nsp    writes mid + (acc + b_proj) to the (revisited) out tile
+
+    x is read once and written once per layer; the intra-layer boundary
+    never exists in HBM. Accumulation order (chunk 0..nsp-1) matches the
+    halves kernel at _MLP_NSPLIT=nsp, so outputs are bit-identical to
+    that config (pinned in tests/test_block_kernel.py). Dense row stream
+    only (the serving vision tower path).
+    """
+    e = n_heads * head_dim
+    j = pl.program_id(1)
+    rows = x_ref[...]  # [G*s_real, E] dense
+
+    @pl.when(j == 0)
+    def _attn_half():
+        h_ln = (
+            _ln_norm(rows) if folded
+            else _ln_rows(rows, ln1_s_ref[...], ln1_b_ref[...])
+        )
+        if static_act:
+            x_q, x_sc = _quant_rows_static(h_ln, ln1_inv_ref[0, 0]), None
+        else:
+            x_q, x_sc = _quant_rows(h_ln)
+        qkv = _int8_gemm(x_q, x_sc, wqkv_i8_ref, wqkv_sc_ref, bqkv_ref).astype(
+            jnp.bfloat16
+        )
+        # VMEM repack: dense rows -> [G, s_pad, .] views (as the attn half)
+        qkv_att = jnp.concatenate(
+            [
+                jnp.pad(
+                    qkv[g * s_real : (g + 1) * s_real],
+                    ((0, s_pad - s_real), (0, 0)),
+                )
+                for g in range(group)
+            ],
+            axis=0,
+        )
+        ctx = _batched_attention(
+            qkv_att, None, n_heads, head_dim, scale,
+            group, s_pad, s_real=s_real, use_mask=False,
+            score_shift=shift_ref[0, 0] if static_shift else None,
+            post_scale=ctx_inv_ref[0, 0] if static_ctx else None,
+        )
+        ctx = jnp.concatenate(
+            [ctx[g * s_pad : g * s_pad + s_real] for g in range(group)],
+            axis=0,
+        )
+        if static_ctx:
+            c_q, c_sc = _round_clip_int8(ctx), None
+        else:
+            c_q, c_sc = _quant_rows(ctx)
+        proj = _int8_gemm(c_q, c_sc, wout_i8_ref, wout_sc_ref, bout_ref)
+        # round through x.dtype — bit-identical to the halves HBM boundary
+        mid = (rows.astype(jnp.float32) + proj).astype(mid_ref.dtype)
+        mid_ref[...] = mid
+        # the MLP's LN2 + input quant, once for all chunks
+        h2 = (
+            _ln_norm(mid) if folded
+            else _ln_rows(mid, ln2_s_ref[...], ln2_b_ref[...])
+        )
+        if static_act:
+            xq_ref[...] = _quant_rows_static(h2, ln2_inv_ref[0, 0])
+        else:
+            q2, s2 = _quant_rows(h2)
+            xq_ref[...] = q2
+            xsc_ref[...] = s2
+
+    @pl.when(j > 0)
+    def _mlp_chunk():
+        s2 = None if static_act else xsc_ref[...]
+        hidden = _int8_gemm(
+            xq_ref[...], s2, wfc_i8_ref, wfc_sc_ref, bfc_ref
+        )
+        if static_h:
+            # h_inv pre-folded into wfc_sc/bfc (see _gelu_quant_static)
+            h_q, h_sc = _gelu_quant_static(hidden, h_inv_ref[0, 0]), None
+        else:
+            h_q, h_sc = _quant_rows(_quick_gelu32(hidden))
+        part = jax.lax.dot_general(
+            h_q, wproj_i8_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * wproj_sc_ref[...].astype(jnp.float32)
+        if h_sc is not None:
+            part = part * h_sc
+        prev = jnp.where(j == 1, jnp.float32(0.0), acc_ref[...])
+        acc_ref[...] = prev + part
+
+        @pl.when(j == nsp)
+        def _write_out():
+            out = mid_ref[...].astype(jnp.float32) + (
+                acc_ref[...] + bproj_ref[...].astype(jnp.float32)
+            )
+            out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _layer_block(x, params, n_heads, quant_layer, interpret, *,
+                 s_real, s_pad, quant_folded):
+    """pallas_call wrapper for _layer_fused_int8_kernel: one fused layer
+    on the dense [B*S, E] row stream (``_FUSE = "layer"``)."""
+    b_rows, e = x.shape
+    b = b_rows // s_real
+    d = e // n_heads
+    group = _pick_group(b, _GROUP_LAYER or _GROUP_TARGET)
+    hidden_dim = quant_layer["mlp"]["c_fc"].w_int8.shape[0]
+    nsp = _LAYER_NSPLIT if hidden_dim % _LAYER_NSPLIT == 0 else 1
+    hs = hidden_dim // nsp
+    rows_t = group * s_real
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+
+    def full(shape):
+        return vmem(shape, lambda i, j: tuple(0 for _ in shape))
+
+    def chunk_row(shape):  # c_fc chunk: rows j-1 (chunk 0 prefetched at j=0)
+        return vmem(
+            shape,
+            lambda i, j: (jnp.maximum(j - 1, 0),) + (0,) * (len(shape) - 1),
+        )
+
+    def chunk_col(shape):  # c_proj chunk: cols j-1
+        return vmem(shape, lambda i, j: (0, jnp.maximum(j - 1, 0)))
+
+    static_act = "ln_inv" in quant_layer["attn"]
+    static_ctx = "ctx_inv" in quant_layer["attn"]
+    static_h = "h_inv" in quant_layer["mlp"]
+    static_shift = "score_shift" in quant_layer["attn"]
+    ones11 = jnp.ones((1, 1), jnp.float32)
+    h_inv = quant_layer["mlp"].get("h_inv", ones11)
+    fc = quant_layer["mlp"]["c_fc"]
+    fc_sc, fc_b = (
+        _fold_h_static(fc, h_inv[0, 0]) if static_h else (fc.w_scale, fc.bias)
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _layer_fused_int8_kernel, n_heads=n_heads, head_dim=d,
+            scale=None if quant_folded else 1.0 / math.sqrt(d),
+            group=group, s_pad=s_pad, s_real=s_real, nsp=nsp,
+            folded=quant_folded, static_act=static_act,
+            static_ctx=static_ctx, static_h=static_h,
+            static_shift=static_shift,
+        ),
+        grid=(b // group, nsp + 1),
+        in_specs=[
+            vmem((rows_t, e), lambda i, j: (i, 0)),
+            full((e,)), full((e,)), full((1, 1)), full((1, 1)), full((1, 1)),
+            full((3 * e, e)), full((3 * e,)), full((3 * e,)),
+            full((e, e)), full((e,)), full((e,)),
+            full((e,)), full((e,)), full((1, 1)), full((1, 1)),
+            chunk_row((hs, e)), chunk_row((hs,)), chunk_row((hs,)),
+            chunk_col((e, hs)), full((e,)), full((e,)),
+        ],
+        out_specs=vmem((rows_t, e), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b_rows, e), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows_t, e), x.dtype),       # mid
+            pltpu.VMEM((rows_t, e), jnp.int8),      # quantized LN2 rows
+            pltpu.VMEM((rows_t, 1), jnp.float32),   # dynamic act scales
+            pltpu.VMEM((rows_t, e), jnp.float32),   # out-proj accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        params["ln_1"]["scale"].astype(x.dtype),
+        params["ln_1"]["bias"].astype(x.dtype),
+        quant_layer["attn"].get("ln_inv", ones11),
+        quant_layer["attn"].get("ctx_inv", ones11),
+        quant_layer["attn"].get("score_shift", ones11),
+        quant_layer["attn"]["w_qkv"].w_int8, quant_layer["attn"]["w_qkv"].w_scale,
+        quant_layer["attn"]["w_qkv"].bias,
+        quant_layer["attn"]["w_out"].w_int8, quant_layer["attn"]["w_out"].w_scale,
+        quant_layer["attn"]["w_out"].bias,
+        params["ln_2"]["scale"].astype(x.dtype),
+        params["ln_2"]["bias"].astype(x.dtype),
+        quant_layer["mlp"].get("ln_inv", ones11), h_inv,
+        fc.w_int8, fc_sc, fc_b,
+        quant_layer["mlp"]["c_proj"].w_int8, quant_layer["mlp"]["c_proj"].w_scale,
+        quant_layer["mlp"]["c_proj"].bias,
+    )
+
+
 def _mlp_half_cls_rows(mid, layer_params, quant_layer, *, quant_folded):
     """Final-layer MLP half on CLS rows only (r5, JCF_BENCH_CLS_LAST).
 
@@ -1628,10 +1916,13 @@ def _mlp_half_cls_rows(mid, layer_params, quant_layer, *, quant_folded):
     else:
         q2, s2 = _quant_rows(h2)
     fc = mlp["c_fc"]
-    hidden = _quick_gelu32(_int8_gemm(q2, s2, fc.w_int8, fc.w_scale, fc.bias))
     if static_h:
-        h_q, h_sc = _quant_rows_static(hidden, mlp["h_inv"][0, 0]), None
+        # same h_inv fold as the fused kernels (see _gelu_quant_static)
+        fc_sc, fc_b = _fold_h_static(fc, mlp["h_inv"][0, 0])
+        hidden = _int8_gemm(q2, s2, fc.w_int8, fc_sc, fc_b)
+        h_q, h_sc = _gelu_quant_static(hidden, mlp["h_inv"][0, 0]), None
     else:
+        hidden = _quick_gelu32(_int8_gemm(q2, s2, fc.w_int8, fc.w_scale, fc.bias))
         h_q, h_sc = _quant_rows(hidden)
     pr = mlp["c_proj"]
     out = mid.astype(jnp.float32) + _int8_gemm(h_q, h_sc, pr.w_int8, pr.w_scale, pr.bias)
@@ -1648,7 +1939,7 @@ def dense_rows_eligible(s: int, n_heads: int, has_quant: bool = True) -> bool:
     )
     return (
         _DENSE_ROWS and s_pad != s and not use_mask and has_quant
-        and _FUSE in ("halves", "stream", "block")
+        and _FUSE in ("halves", "stream", "block", "layer")
     )
 
 
@@ -1699,8 +1990,15 @@ def run_fused_tower(
     # to the per-pair epilogue inside _batched_attention)
     dense = (
         _DENSE_ROWS and s_pad != s and not use_mask
-        and quant is not None and _FUSE in ("halves", "stream", "block")
+        and quant is not None and _FUSE in ("halves", "stream", "block", "layer")
     )
+    if not dense:
+        # _S_ALIGN=16's win exists ONLY inside the dense path's in-VMEM
+        # attention repack; on the padded routes (bf16 towers, masked
+        # text) the structural pad rides every GEMM and all HBM traffic,
+        # so fall back to the minimal sublane alignment (r5: the bf16
+        # parity config measured 1700 img/s at s_pad 64 vs 2095 at 56)
+        s_pad = ((s + 7) // 8) * 8
     if flat_s is not None and not dense:
         # pre-flattened caller but a non-dense kernel config: un-flatten
         # (a compaction copy — correctness fallback, not the fast path)
@@ -1725,12 +2023,20 @@ def run_fused_tower(
         return x if flat_s is not None else x.reshape(b, s, e)
     cls_route = cls_only and dense and quant is not None and _CLS_LAST
     if quant is not None:
-        def body(carry, scanned):
-            layer_params, quant_layer = scanned
-            return fused_block(
-                carry, layer_params, n_heads, bias,
-                quant_layer=quant_layer, **kw,
-            ), None
+        if dense and _FUSE == "layer":
+            def body(carry, scanned):
+                layer_params, quant_layer = scanned
+                return _layer_block(
+                    carry, layer_params, n_heads, quant_layer, interpret,
+                    s_real=s, s_pad=s_pad, quant_folded=quant_folded,
+                ), None
+        else:
+            def body(carry, scanned):
+                layer_params, quant_layer = scanned
+                return fused_block(
+                    carry, layer_params, n_heads, bias,
+                    quant_layer=quant_layer, **kw,
+                ), None
 
         if cls_route:
             # scan L-1 layers; the last layer runs its attention half

@@ -60,6 +60,17 @@ def _log(msg):
 
 
 def _time_section(name, fn, args_for):
+    # a failed section (e.g. the remote compile helper's request-size
+    # limit, HTTP 413 on the r5 first run) must not kill the rest
+    try:
+        return _time_section_inner(name, fn, args_for)
+    except Exception as exc:  # noqa: BLE001
+        print(f"{name:8s}   FAILED: {type(exc).__name__}: {str(exc)[:120]}",
+              flush=True)
+        return float("nan")
+
+
+def _time_section_inner(name, fn, args_for):
     out = None
     for i in range(2):
         out = fn(*args_for(i))
@@ -88,7 +99,7 @@ def main():
                 [f"a photo of a class {i} variant {b}." for i in range(N_CLASSES)],
                 truncate=True,
             ))
-            for b in range(8)
+            for b in range(12)
         ])
     )
     opt = adamw(lr=2e-4, weight_decay=1e-2)
@@ -97,22 +108,36 @@ def main():
     )
     state = init_state(lora)
     rng = np.random.default_rng(0)
-    # distinct image buffers per timed iteration (fresh-input rule)
+    # one DISTINCT image buffer per timed iteration (fresh-input rule:
+    # a pool smaller than TIMED lets the axon dispatch memoization elide
+    # repeats — the r5 first run measured a 0.74 ms "full step" that way)
     image_pool = [
         jnp.asarray(rng.random((BS, 3, 224, 224)).astype(np.float32))
-        for _ in range(3)
+        for _ in range(TIMED + 2)
     ]
+    n_pool = len(image_pool)
     targets = jnp.asarray(rng.integers(0, 374, BS).astype(np.int32))
 
     rows = {}
 
-    # --- full step (no donation: state reused across iterations) ---
-    step = jax.jit(step_fn)
-    rows["full"] = _time_section(
-        "full",
-        lambda img, b, k: step(frozen, state, img, targets, b, k)[1]["loss"],
-        lambda i: (image_pool[i % 3], i % 8, jax.random.PRNGKey(i)),
-    )
+    # --- full step, state THREADED through the timed loop ---
+    # (an unthreaded loop on the async axon dispatch path measured
+    # 0.41 ms/step — the per-iteration loss buffers resolve while the
+    # pipelined steps overlap; threading the state forces each step to
+    # consume the previous one's outputs, like bench_train.py)
+    step = jax.jit(step_fn, donate_argnums=(1,))
+    st, _ = step(frozen, state, image_pool[0], targets, 0, jax.random.PRNGKey(0))
+    st, _ = step(frozen, st, image_pool[1], targets, 1, jax.random.PRNGKey(1))
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    metrics = None
+    for i in range(TIMED):
+        st, metrics = step(frozen, st, image_pool[i % n_pool], targets,
+                           i % 12, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready((st, metrics))
+    rows["full"] = (time.perf_counter() - t0) / TIMED * 1e3
+    print(f"full     {rows['full']:8.2f} ms  (loss {float(metrics['loss']):.4f})",
+          flush=True)
 
     # --- text tower fwd+bwd (proxy reduction; tower work identical) ---
     def text_loss(lora_t, bank_idx, key):
@@ -124,12 +149,12 @@ def main():
     text_fb = jax.jit(jax.value_and_grad(text_loss))
     rows["text_fb"] = _time_section(
         "text_fb", lambda b, k: text_fb(state.lora, b, k)[0],
-        lambda i: (i % 8, jax.random.PRNGKey(i)),
+        lambda i: (i % 12, jax.random.PRNGKey(i)),
     )
     text_f = jax.jit(text_loss)
     rows["text_f"] = _time_section(
         "text_f", lambda b, k: text_f(state.lora, b, k),
-        lambda i: (i % 8, jax.random.PRNGKey(i)),
+        lambda i: (i % 12, jax.random.PRNGKey(i)),
     )
 
     # --- vision tower fwd+bwd ---
@@ -141,12 +166,12 @@ def main():
     vis_fb = jax.jit(jax.value_and_grad(vis_loss))
     rows["vis_fb"] = _time_section(
         "vis_fb", lambda img, k: vis_fb(state.lora, img, k)[0],
-        lambda i: (image_pool[i % 3], jax.random.PRNGKey(i)),
+        lambda i: (image_pool[i % n_pool], jax.random.PRNGKey(i)),
     )
     vis_f = jax.jit(vis_loss)
     rows["vis_f"] = _time_section(
         "vis_f", lambda img, k: vis_f(state.lora, img, k),
-        lambda i: (image_pool[i % 3], jax.random.PRNGKey(i)),
+        lambda i: (image_pool[i % n_pool], jax.random.PRNGKey(i)),
     )
 
     # --- optimizer alone (fixed synthetic grads, scaled per iter) ---
@@ -162,6 +187,14 @@ def main():
         "opt", lambda s: opt_j(s), lambda i: (jnp.float32(1.0 + 0.01 * i),)
     )
 
+    import math
+
+    if math.isnan(rows["vis_fb"]):
+        # the standalone vision fwd+bwd program exceeds the remote compile
+        # helper's request-size limit (HTTP 413; the full step only
+        # compiles because its persistent-cache entry predates the limit)
+        # — derive it from the threaded full step instead
+        rows["vis_fb_derived"] = rows["full"] - rows["text_fb"] - rows["opt"]
     rows["sections_sum"] = rows["text_fb"] + rows["vis_fb"] + rows["opt"]
     rows["imgs_per_sec_full"] = round(BS / rows["full"] * 1e3, 1)
     print(json.dumps({k: round(v, 2) if isinstance(v, float) else v

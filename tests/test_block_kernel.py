@@ -568,6 +568,86 @@ def test_fused_tower_block_nsplit(monkeypatch):
     np.testing.assert_array_equal(fb, base)
 
 
+def test_fused_tower_layer_matches_halves(monkeypatch):
+    """_FUSE="layer" (r5): one kernel per layer with the MLP weight
+    chunks streamed on an inner grid dim — the intra-layer residual
+    boundary lives in VMEM scratch (rounded through x.dtype exactly like
+    the halves HBM boundary) and chunk accumulation follows the halves
+    kernel's _MLP_NSPLIT order. Outputs are bit-identical to the halves
+    scan at _MLP_NSPLIT = _LAYER_NSPLIT on the TPU backend (verified on
+    chip); on CPU, XLA fuses the two program structures with different
+    FMA contractions, so this test allows 1-ULP f32 noise (measured max
+    4.8e-7 abs on values O(1)). The layer/flat entries must still agree
+    bitwise with each other (same program)."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    params = init_clip_params(23, CFG)
+    x = jnp.asarray(RNG.standard_normal((4, 17, 128)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    monkeypatch.setattr(bk, "_LAYER_NSPLIT", 4)
+    for fold in (True, False):
+        q = quantize_clip_params(
+            params, fold=fold, heads={"visual": 1, "text": 2}
+        ) if fold else quantize_clip_params(params)
+        monkeypatch.setattr(bk, "_MLP_NSPLIT", 4)
+        base = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                          quant=q["text"], quant_folded=fold,
+                                          interpret=True))
+        monkeypatch.setattr(bk, "_MLP_NSPLIT", 1)
+        monkeypatch.setattr(bk, "_FUSE", "layer")
+        out = np.asarray(run_fused_tower(x, params["text"]["blocks"], 2, None,
+                                         quant=q["text"], quant_folded=fold,
+                                         interpret=True))
+        flat = np.asarray(run_fused_tower(
+            x.reshape(4 * 17, 128), params["text"]["blocks"], 2, None,
+            quant=q["text"], quant_folded=fold, interpret=True, flat_s=17,
+        ))
+        monkeypatch.setattr(bk, "_FUSE", "halves")
+        np.testing.assert_array_equal(flat, out.reshape(4 * 17, 128))
+        np.testing.assert_allclose(out, base, atol=5e-6, rtol=2e-6)
+
+
+def test_fused_tower_layer_static_full(monkeypatch):
+    """_FUSE="layer" under the SERVING quant config (folded + calibrated
+    static ln/ctx/hidden scales + CLS-only) vs the halves scan at
+    matching nsplit, through the cls_only entry (same 1-ULP CPU-FMA
+    allowance as test_fused_tower_layer_matches_halves; bit-identical on
+    the TPU backend)."""
+    import jcf_tpu.ops.block_kernel as bk
+    from jcf_tpu.models.clip import vision_ln_z_amax
+    from jcf_tpu.ops.quant import quantize_clip_params
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, context_length=16, vocab_size=120,
+        text_width=128, text_heads=2, text_layers=2,
+    )
+    rng = np.random.default_rng(47)
+    params = init_clip_params(19, cfg)
+    amax = np.asarray(vision_ln_z_amax(
+        params, cfg, jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32)),
+    ))
+    q = quantize_clip_params(
+        params, fold=True, heads={"visual": 2, "text": 2},
+        act_scales={"visual": amax}, act_static=("ctx", "hidden"),
+    )
+    x = jnp.asarray(rng.standard_normal((4, 17, 64)).astype(np.float32))
+    monkeypatch.setattr(bk, "_DENSE_ROWS", True)
+    monkeypatch.setattr(bk, "_LAYER_NSPLIT", 4)
+    monkeypatch.setattr(bk, "_MLP_NSPLIT", 4)
+    base = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None, quant=q["visual"],
+        quant_folded=True, interpret=True, cls_only=True))
+    monkeypatch.setattr(bk, "_MLP_NSPLIT", 1)
+    monkeypatch.setattr(bk, "_FUSE", "layer")
+    out = np.asarray(run_fused_tower(
+        x, params["visual"]["blocks"], 2, None, quant=q["visual"],
+        quant_folded=True, interpret=True, cls_only=True))
+    monkeypatch.setattr(bk, "_FUSE", "halves")
+    np.testing.assert_allclose(out, base, atol=5e-6, rtol=2e-6)
+
+
 def test_fused_tower_stream_matches_halves(monkeypatch):
     """_FUSE="stream": the layer-streaming whole-tower kernel (residual
     tile VMEM-resident across all 2L half-steps, weights streamed per
