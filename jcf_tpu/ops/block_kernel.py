@@ -1774,8 +1774,10 @@ def _layer_fused_int8_kernel(
     @pl.when(j > 0)
     def _mlp_chunk():
         s2 = None if static_act else xsc_ref[...]
+        # chunked per-channel vectors ride as [nsp, 1, hs] rows (1-D or
+        # (1, hs) blocked slices violate Mosaic's tiling rules)
         hidden = _int8_gemm(
-            xq_ref[...], s2, wfc_i8_ref, wfc_sc_ref, bfc_ref
+            xq_ref[...], s2, wfc_i8_ref, wfc_sc_ref[0, 0], bfc_ref[0, 0]
         )
         if static_h:
             # h_inv pre-folded into wfc_sc/bfc (see _gelu_quant_static)
@@ -1822,6 +1824,12 @@ def _layer_block(x, params, n_heads, quant_layer, interpret, *,
             lambda i, j: (jnp.maximum(j - 1, 0),) + (0,) * (len(shape) - 1),
         )
 
+    def chunk_vec(hs_):
+        # per-channel chunk vectors carried [nsp, 1, hs]: a (1, hs) block
+        # on [nsp, hs] violates the divide-(8,128)-or-equal rule (same
+        # fix as the stream kernel's stacked per-layer vectors)
+        return vmem((1, 1, hs_), lambda i, j: (jnp.maximum(j - 1, 0), 0, 0))
+
     def chunk_col(shape):  # c_proj chunk: cols j-1
         return vmem(shape, lambda i, j: (0, jnp.maximum(j - 1, 0)))
 
@@ -1851,7 +1859,7 @@ def _layer_block(x, params, n_heads, quant_layer, interpret, *,
             full((3 * e, e)), full((3 * e,)), full((3 * e,)),
             full((e, e)), full((e,)), full((e,)),
             full((e,)), full((e,)), full((1, 1)), full((1, 1)),
-            chunk_row((hs, e)), chunk_row((hs,)), chunk_row((hs,)),
+            chunk_row((hs, e)), chunk_vec(hs), chunk_vec(hs),
             chunk_col((e, hs)), full((e,)), full((e,)),
         ],
         out_specs=vmem((rows_t, e), lambda i, j: (i, 0)),
@@ -1881,7 +1889,7 @@ def _layer_block(x, params, n_heads, quant_layer, interpret, *,
         params["ln_2"]["scale"].astype(x.dtype),
         params["ln_2"]["bias"].astype(x.dtype),
         quant_layer["mlp"].get("ln_inv", ones11), h_inv,
-        fc.w_int8, fc_sc, fc_b,
+        fc.w_int8, fc_sc.reshape(nsp, 1, hs), fc_b.reshape(nsp, 1, hs),
         quant_layer["mlp"]["c_proj"].w_int8, quant_layer["mlp"]["c_proj"].w_scale,
         quant_layer["mlp"]["c_proj"].bias,
     )
