@@ -52,14 +52,16 @@ TILE = GROUP * S
 
 
 def _unpack_int4(packed_i8, out_cols):
-    """[r, c/2] int8 (two signed nibbles/byte) -> [r, c] int8."""
+    """[r, c/2] int8 -> [r, c] int8. Byte j holds col j (low nibble) and
+    col j + c/2 (high nibble), so the unpack is a plain lane concat — an
+    element interleave (stack + reshape) is an 'unsupported shape cast'
+    in Mosaic's vector layout inference (measured r5)."""
     wi = packed_i8.astype(jnp.int32)
     lo = jax.lax.shift_right_arithmetic(
         jax.lax.shift_left(wi, 28), jnp.int32(28))
     hi = jax.lax.shift_right_arithmetic(
         jax.lax.shift_left(wi, 24), jnp.int32(28))
-    inter = jnp.stack([lo, hi], axis=-1)  # [r, c/2, 2]
-    return inter.reshape(packed_i8.shape[0], out_cols).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
 
 
 def _mlp_math(rows, wfc, wproj, h_inv):
@@ -133,8 +135,9 @@ def main():
 
     def pack(w):
         wi = np.asarray(w).astype(np.int8)
-        lo = wi[:, 0::2] & 0xF
-        hi = (wi[:, 1::2] & 0xF) << 4
+        half = wi.shape[1] // 2
+        lo = wi[:, :half] & 0xF
+        hi = (wi[:, half:] & 0xF) << 4
         return jnp.asarray((lo | hi).astype(np.uint8).view(np.int8))
 
     wfc4, wproj4 = pack(wfc), pack(wproj)
