@@ -117,7 +117,9 @@ def build_text_weights(
         key = _classifier_cache_key(params, mcfg, templates, cfg)
         path = os.path.join(cache_dir, f"text_classifier_{key}.npy")
         if os.path.exists(path):
-            w = jnp.asarray(np.load(path))
+            # stored f32 (numpy has no bfloat16 — a raw np.save of a bf16
+            # array round-trips as void '|V2' and jnp.asarray rejects it)
+            w = jnp.asarray(np.load(path)).astype(compute_dtype(cfg))
             logger.info(
                 "text classifier cache HIT: %s (%.2fs)",
                 path, _time.perf_counter() - t0,
@@ -134,7 +136,7 @@ def build_text_weights(
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            np.save(f, np.asarray(w))
+            np.save(f, np.asarray(w.astype(jnp.float32)))
         os.replace(tmp, path)
         logger.info("text classifier cached: %s", path)
     return w

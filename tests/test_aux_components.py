@@ -240,3 +240,20 @@ def test_text_classifier_cache(tmp_path):
     w3 = np.asarray(common.build_text_weights(params, mcfg, templates2, cfg))
     assert len(list((tmp_path / "cache").glob("text_classifier_*.npy"))) == 2
     assert np.abs(w3 - w1).max() > 0
+
+    # bf16 compute dtype (the --perf serving preset) must round-trip the
+    # cache: numpy stores bfloat16 as void '|V2', which the r5 e2e warm
+    # run crashed on before the f32-storage fix
+    cfg16 = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, compute_dtype="bfloat16")
+    )
+    w4 = common.build_text_weights(params, mcfg, templates, cfg16)
+    assert w4.dtype == jnp.bfloat16
+    common.build_classifier_weights = None
+    try:
+        w5 = common.build_text_weights(params, mcfg, templates, cfg16)
+    finally:
+        common.build_classifier_weights = orig
+    assert w5.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(w4.astype(jnp.float32)),
+                                  np.asarray(w5.astype(jnp.float32)))
