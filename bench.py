@@ -443,8 +443,18 @@ def main() -> None:
             raise SystemExit(f"integer bench knob must be >= 1, got {v!r}")
         return iv
 
+    def _vmem_mb_knob(v: str) -> int:
+        # Mosaic scoped-vmem ceiling in MiB; v5e VMEM is 128 MiB, so cap
+        # requests at the physical size (Mosaic rejects over-asks late
+        # and opaquely otherwise)
+        iv = int(v)
+        if not 1 <= iv <= 128:
+            raise SystemExit(f"JCF_BENCH_VMEM_MB must be in [1,128], got {v!r}")
+        return iv * 1024 * 1024
+
     knob_tag = ""
     for env, attr, cast in (
+        ("JCF_BENCH_VMEM_MB", "_VMEM_LIMIT", _vmem_mb_knob),
         ("JCF_BENCH_SUBTILES", "_SUBTILES", _pos_int_knob),
         ("JCF_BENCH_GROUP", "_GROUP_TARGET", _pos_int_knob),
         ("JCF_BENCH_GROUP_ATTN", "_GROUP_ATTN", _pos_int_knob),

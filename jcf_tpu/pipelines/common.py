@@ -85,8 +85,12 @@ def _classifier_cache_key(params, mcfg, templates, cfg) -> str:
         h.update(str(cid).encode())
         for s in templates[cid]:
             h.update(s.encode())
+    # one batched device_get: leaf-by-leaf np.asarray pays a device
+    # round-trip per leaf (~20 s for the B/32 text tower through the
+    # axon tunnel); fetching the whole tree at once pipelines it
+    host_text = jax.device_get(params["text"])
     for path, leaf in sorted(
-        jax.tree_util.tree_flatten_with_path(params["text"])[0],
+        jax.tree_util.tree_flatten_with_path(host_text)[0],
         key=lambda kv: str(kv[0]),
     ):
         h.update(str(path).encode())
